@@ -1,0 +1,113 @@
+"""Learnable self-paced threshold eta.
+
+Two reference variants, selected by ``kind`` / ``objective``:
+
+- kind="eta", objective="self_paced": EtaWrapper (old/eta_bound.py:60-93).
+  v = EtaWeights(ce) with ce = (pce+nce)/2; eta minimizes
+  mean(pce*v) + mean(nce*v) - sum(v) by its own Adam with a linear
+  warmup-decay schedule; eta clamped to [eta_min, eta_max]; difficulty = eta.
+
+- kind="lce", objective="weighted_ce": LCEModel meta step (lceT5.py:137-143).
+  v = LCEWeights(ce) with ce = LCE per-example CE; eta minimizes
+  mean(v * ce) by AdamW + linear schedule; difficulty = min(1-1e-10, eta)
+  (ChangeDifficulty callback, lceT5.py:77-80).
+
+In both, the meta update consumes the CE values only — the gradient of the
+objective wrt eta is a closed form over (ce, eta) — so no extra model forward
+is ever needed. The reference pays two no-grad forwards per step for this
+(lceT5.py:131-135); we reuse the main-pass CE under ``stop_gradient``
+(SURVEY.md §7 item 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pacednegatives_tpu.curriculum.base import StepSignals
+from pacednegatives_tpu.ops.losses import eta_weight, self_paced_objective
+
+
+class EtaState(NamedTuple):
+    eta: jax.Array  # fp32 scalar parameter
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def linear_warmup_decay(peak_lr: float, warmup_steps: int, total_steps: int):
+    """HF get_linear_schedule_with_warmup parity (used by every reference
+    trainer): linear 0->peak over warmup, then linear decay to 0 at total."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / warmup_steps
+        decay = jnp.maximum(
+            0.0,
+            (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1),
+        )
+        return peak_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class EtaController:
+    eta0: float = 0.5
+    meta_lr: float = 1e-3
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    kind: str = "eta"  # weight function: "eta" | "lce"
+    objective: str = "self_paced"  # "self_paced" | "weighted_ce"
+    eta_min: float = 1e-10
+    eta_max: float = 1.0
+    clamp: bool = True
+    optimizer: str = "adam"  # "adam" (EtaWrapper) | "adamw" (LCEModel)
+
+    def _tx(self) -> optax.GradientTransformation:
+        schedule = linear_warmup_decay(
+            self.meta_lr, self.warmup_steps, self.total_steps
+        )
+        if self.optimizer == "adamw":
+            return optax.adamw(schedule)
+        return optax.adam(schedule)
+
+    def init(self) -> EtaState:
+        eta = jnp.asarray(self.eta0, jnp.float32)
+        return EtaState(
+            eta=eta,
+            opt_state=self._tx().init(eta),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def difficulty(self, state: EtaState) -> jax.Array:
+        # ChangeDifficulty caps at 1-1e-10 (lceT5.py:79); harmless for the
+        # clamped EtaWrapper variant too.
+        return jnp.clip(state.eta, 0.0, 1.0 - 1e-10)
+
+    def _objective(self, eta, signals: StepSignals) -> jax.Array:
+        v = eta_weight(signals.ce, eta, self.kind)
+        if self.objective == "self_paced":
+            return self_paced_objective(signals.pce, signals.nce, v)
+        return jnp.mean(v * signals.ce)
+
+    def update(self, state: EtaState, signals: StepSignals) -> EtaState:
+        signals = jax.tree_util.tree_map(jax.lax.stop_gradient, signals)
+        grad = jax.grad(self._objective)(state.eta, signals)
+        updates, opt_state = self._tx().update(
+            grad, state.opt_state, state.eta
+        )
+        eta = optax.apply_updates(state.eta, updates)
+        if self.clamp:
+            eta = jnp.clip(eta, self.eta_min, self.eta_max)
+        return EtaState(eta=eta, opt_state=opt_state, step=state.step + 1)
+
+    def meta_loss(self, state: EtaState, signals: StepSignals) -> jax.Array:
+        return self._objective(state.eta, signals)
+
+    def metrics(self, state: EtaState) -> dict[str, jax.Array]:
+        return {"eta": state.eta, "difficulty": self.difficulty(state)}
