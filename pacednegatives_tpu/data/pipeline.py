@@ -1,0 +1,129 @@
+"""Host-side tokenize-once pipeline.
+
+The reference re-tokenizes every batch inside DataLoader workers — the SAME
+strings twice per step in the eta wrapper (prep_batch called from both
+meta_loop and main_loop, old/eta_bound.py:62,96). Here every query and doc
+is tokenized exactly once into fixed-shape arrays; batches are assembled by
+integer gathers (host or device — see device_corpus.py).
+
+Prompt layout (monoT5, reference dataloader.py:42-43):
+
+    'Query: ' + q + ' Document: ' + d + ' Relevant:'
+
+is tokenized as fixed segments [prefix | query (Lq) | mid | doc (Ld) |
+suffix+eos]; query/doc segments are padded in place and masked out via the
+attention mask. Positions are therefore fixed per segment — a deliberate
+static-shape design (XLA requires static shapes; per-example repacking would
+force retraces). Training and inference use the same layout, so the model is
+self-consistent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pacednegatives_tpu.data.corpus import TextCorpus
+from pacednegatives_tpu.data.tokenizer import Tokenizer, pad_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptTemplate:
+    prefix: tuple[int, ...]  # 'Query:'
+    mid: tuple[int, ...]  # 'Document:'
+    suffix: tuple[int, ...]  # 'Relevant:' + eos
+
+    @classmethod
+    def monot5(cls, tok: Tokenizer) -> "PromptTemplate":
+        return cls(
+            prefix=tuple(tok.encode("Query:")),
+            mid=tuple(tok.encode("Document:")),
+            suffix=tuple(tok.encode("Relevant:", add_eos=True)),
+        )
+
+    def total_len(self, max_q: int, max_d: int) -> int:
+        return len(self.prefix) + max_q + len(self.mid) + max_d + len(self.suffix)
+
+
+@dataclasses.dataclass
+class TokenizedStore:
+    """All queries/docs tokenized once into padded matrices."""
+
+    q_tokens: np.ndarray  # (Nq, Lq) int32
+    q_mask: np.ndarray  # (Nq, Lq) int32
+    d_tokens: np.ndarray  # (Nd, Ld) int32
+    d_mask: np.ndarray  # (Nd, Ld) int32
+    template: PromptTemplate
+    pad_id: int
+    true_id: int
+    false_id: int
+    eos_id: int
+
+    @classmethod
+    def build(
+        cls,
+        corpus: TextCorpus,
+        tok: Tokenizer,
+        max_q_tokens: int = 32,
+        max_d_tokens: int = 180,
+    ) -> "TokenizedStore":
+        q_tokens, q_mask = pad_batch(
+            [tok.encode(t) for t in corpus.query_texts], max_q_tokens, tok.pad_id
+        )
+        d_tokens, d_mask = pad_batch(
+            [tok.encode(t) for t in corpus.doc_texts], max_d_tokens, tok.pad_id
+        )
+        return cls(
+            q_tokens=q_tokens,
+            q_mask=q_mask,
+            d_tokens=d_tokens,
+            d_mask=d_mask,
+            template=PromptTemplate.monot5(tok),
+            pad_id=tok.pad_id,
+            true_id=tok.true_id,
+            false_id=tok.false_id,
+            eos_id=tok.eos_id,
+        )
+
+    @property
+    def prompt_len(self) -> int:
+        return self.template.total_len(
+            self.q_tokens.shape[1], self.d_tokens.shape[1]
+        )
+
+    def assemble_host(
+        self, q_rows: np.ndarray, d_rows: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(B,) query rows + (B,) doc rows -> (B, L) prompt ids + mask."""
+        B = len(q_rows)
+        t = self.template
+        ones = lambda seg: np.ones((B, len(seg)), np.int32)
+        tile = lambda seg: np.tile(np.array(seg, np.int32), (B, 1))
+        ids = np.concatenate(
+            [
+                tile(t.prefix),
+                self.q_tokens[q_rows],
+                tile(t.mid),
+                self.d_tokens[d_rows],
+                tile(t.suffix),
+            ],
+            axis=1,
+        )
+        mask = np.concatenate(
+            [
+                ones(t.prefix),
+                self.q_mask[q_rows],
+                ones(t.mid),
+                self.d_mask[d_rows],
+                ones(t.suffix),
+            ],
+            axis=1,
+        )
+        return ids, mask
+
+    def labels(self, B: int, positive: bool) -> np.ndarray:
+        """(B, 2) labels [verbalizer, eos] — parity with the reference's
+        tokenizer(['true']*B).input_ids (lceT5.py:50-51)."""
+        tok_id = self.true_id if positive else self.false_id
+        return np.tile(np.array([[tok_id, self.eos_id]], np.int32), (B, 1))

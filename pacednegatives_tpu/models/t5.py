@@ -128,29 +128,32 @@ def init_params(key: jax.Array, cfg: T5Config) -> PyTree:
     """Random-init a full encoder-decoder parameter pytree."""
     n_enc, n_dec = cfg.num_layers, cfg.num_decoder_layers
     keys = iter(jax.random.split(key, 3 + 2 * n_enc + 3 * n_dec + 2))
-    ones = jnp.ones((cfg.d_model,), jnp.float32)
+
+    def ones():
+        # fresh buffer per scale: shared buffers break jit argument donation
+        return jnp.ones((cfg.d_model,), jnp.float32)
 
     encoder = {}
     for i in range(n_enc):
         encoder[f"block_{i}"] = {
             "self_attn": _init_attention(next(keys), cfg, has_rel_bias=(i == 0)),
-            "ln_self": {"scale": ones},
+            "ln_self": {"scale": ones()},
             "mlp": _init_mlp(next(keys), cfg),
-            "ln_mlp": {"scale": ones},
+            "ln_mlp": {"scale": ones()},
         }
-    encoder["final_ln"] = {"scale": ones}
+    encoder["final_ln"] = {"scale": ones()}
 
     decoder = {}
     for i in range(n_dec):
         decoder[f"block_{i}"] = {
             "self_attn": _init_attention(next(keys), cfg, has_rel_bias=(i == 0)),
-            "ln_self": {"scale": ones},
+            "ln_self": {"scale": ones()},
             "cross_attn": _init_attention(next(keys), cfg, has_rel_bias=False),
-            "ln_cross": {"scale": ones},
+            "ln_cross": {"scale": ones()},
             "mlp": _init_mlp(next(keys), cfg),
-            "ln_mlp": {"scale": ones},
+            "ln_mlp": {"scale": ones()},
         }
-    decoder["final_ln"] = {"scale": ones}
+    decoder["final_ln"] = {"scale": ones()}
 
     params = {
         "shared": {"embedding": _normal(next(keys), (cfg.vocab_size, cfg.d_model), 1.0)},

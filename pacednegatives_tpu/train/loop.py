@@ -1,0 +1,188 @@
+"""Training loop: scan-fused stepping, metrics, checkpoint/resume.
+
+Design: the host submits CHUNKS of steps as one jitted
+``lax.scan(fused_step, state, pair_idx_chunk)`` call — the device runs
+``chunk_size`` full train steps (batch assembly + curriculum + optimizer)
+without returning to Python. Metrics come back as (chunk, k) arrays and are
+written to JSONL (the reference's wandb key set: loss / meta_loss /
+difficulty / success_rate / eta / probs / avg_weight — old/eta_bound.py:142-150).
+
+Checkpointing fixes the reference's gap (SURVEY.md §5): curriculum state
+(eta + its optimizer moments, difficulty, weight table), PRNG key, and the
+step cursor are all part of the checkpoint, so resume is exact — the
+reference only saves final model weights (train/train_lce.py:103).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacednegatives_tpu.train.state import TrainState
+
+
+class MetricWriter:
+    """JSONL metric stream (one line per logged step)."""
+
+    def __init__(self, path: str | None):
+        self._f = open(path, "a") if path else None
+        self.history: list[dict] = []
+
+    def write(self, record: dict[str, Any]) -> None:
+        rec = {
+            k: (float(v) if hasattr(v, "__float__") else v)
+            for k, v in record.items()
+        }
+        self.history.append(rec)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+
+    def flush(self) -> None:
+        if self._f:
+            self._f.flush()
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+
+
+# -- checkpointing -----------------------------------------------------------
+
+
+def _to_saveable(state: TrainState) -> dict:
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "curriculum": state.curriculum,
+        "step": state.step,
+        "key": jax.random.key_data(state.key),
+    }
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _to_saveable(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (an initialized state)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree_util.tree_map(
+        ocp.utils.to_shape_dtype_struct, _to_saveable(template)
+    )
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return TrainState(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        curriculum=restored["curriculum"],
+        step=restored["step"],
+        key=jax.random.wrap_key_data(restored["key"]),
+    )
+
+
+# -- index stream ------------------------------------------------------------
+
+
+def pair_index_stream(
+    num_pairs: int, batch_size: int, seed: int = 0, shuffle: bool = True
+) -> Iterator[np.ndarray]:
+    """Deterministic epoch-permuted (B,) pair-index batches, forever."""
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while True:
+        order = (
+            rng.permutation(num_pairs) if shuffle else np.arange(num_pairs)
+        )
+        for i in range(num_pairs // batch_size):
+            yield order[i * batch_size : (i + 1) * batch_size].astype(np.int32)
+        epoch += 1
+
+
+# -- loop ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainLoop:
+    fused_step: Callable  # (state, (B,) pair_idx) -> (state, metrics)
+    num_pairs: int
+    batch_size: int
+    chunk_size: int = 16  # steps per device dispatch
+    seed: int = 0
+    shuffle: bool = True
+    log_every_chunks: int = 1
+    checkpoint_dir: str | None = None
+    checkpoint_every_steps: int = 0
+
+    def __post_init__(self):
+        def chunk_fn(state, idx_chunk):
+            return jax.lax.scan(self.fused_step, state, idx_chunk)
+
+        self._chunk_fn = jax.jit(chunk_fn, donate_argnums=0)
+
+    def run(
+        self,
+        state: TrainState,
+        total_steps: int,
+        writer: MetricWriter | None = None,
+    ) -> TrainState:
+        writer = writer or MetricWriter(None)
+        stream = pair_index_stream(
+            self.num_pairs, self.batch_size, self.seed, self.shuffle
+        )
+        start_step = int(state.step)
+        # skip batches already consumed (exact resume)
+        for _ in range(start_step):
+            next(stream)
+
+        t0 = time.time()
+        done = start_step
+        chunk_i = 0
+        while done < total_steps:
+            n = min(self.chunk_size, total_steps - done)
+            idx = np.stack([next(stream) for _ in range(n)])
+            state, metrics = self._chunk_fn(state, jnp.asarray(idx))
+            done += n
+            chunk_i += 1
+
+            if chunk_i % self.log_every_chunks == 0:
+                host = jax.device_get(metrics)
+                last = {k: np.asarray(v)[-1] for k, v in host.items()}
+                writer.write(
+                    {
+                        "step": done,
+                        **last,
+                        "steps_per_sec": done_per_sec(done - start_step, t0),
+                    }
+                )
+                writer.flush()
+
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every_steps
+                and done % self.checkpoint_every_steps == 0
+            ):
+                save_checkpoint(
+                    os.path.join(self.checkpoint_dir, f"step_{done}"), state
+                )
+
+        writer.write({"step": done, "time": time.time() - t0})
+        writer.flush()
+        return state
+
+
+def done_per_sec(steps: int, t0: float) -> float:
+    dt = time.time() - t0
+    return steps / dt if dt > 0 else 0.0

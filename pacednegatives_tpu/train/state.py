@@ -1,0 +1,55 @@
+"""Training state and optimizers.
+
+Optimizer parity with the reference: AdamW + HF linear warmup-decay schedule
+on every trainer (pairwrapper.py:54, old/eta_bound.py:130-135,
+lceT5.py:170-182). Warmup default total//100 matches the reference fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pacednegatives_tpu.curriculum.eta import linear_warmup_decay
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: optax.OptState
+    curriculum: Any
+    step: jax.Array
+    key: jax.Array
+
+
+def make_optimizer(
+    lr: float,
+    total_steps: int,
+    warmup_steps: int | None = None,
+    weight_decay: float = 0.01,
+    grad_clip: float | None = 1.0,
+) -> optax.GradientTransformation:
+    if warmup_steps is None:
+        warmup_steps = max(total_steps // 100, 1)
+    schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def init_train_state(
+    params: Any,
+    tx: optax.GradientTransformation,
+    curriculum_state: Any,
+    seed: int = 42,
+) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        curriculum=curriculum_state,
+        step=jnp.zeros((), jnp.int32),
+        key=jax.random.key(seed),
+    )

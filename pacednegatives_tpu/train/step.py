@@ -1,0 +1,255 @@
+"""Fused jitted train steps.
+
+The reference pays FOUR model forwards + one backward per step in its
+meta-trainers: two no-grad forwards for the eta update, then two fresh
+grad forwards for the main loss (lceT5.py:131-157, old/eta_bound.py:60-118).
+The eta objective only needs the per-example CE *values*, so here a single
+gradient pass produces both the main loss and (under stop_gradient) the
+curriculum signals: 2 forwards + 1 backward total, with XLA free to fuse
+batch assembly, both passes and both optimizer updates into one program.
+
+Step families (mirroring the reference trainers):
+- ``make_train_step(loss="pair")``  — Interp/Level/Eta wrappers (1 negative)
+- ``make_train_step(loss="lce")``   — LCEModel (n sampled negatives)
+- ``make_meta_train_step``          — bilevel per-example weights
+  (StdWrapper via virtual SGD step, NewWrapper via closed form)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pacednegatives_tpu.curriculum.base import StepSignals
+from pacednegatives_tpu.curriculum.meta import MetaWeightTable
+from pacednegatives_tpu.models import t5
+from pacednegatives_tpu.models.monot5 import relevance_probs
+from pacednegatives_tpu.ops.losses import lce_ce, token_ce
+from pacednegatives_tpu.train.state import TrainState
+
+Batch = dict[str, jax.Array]
+
+
+def _ce_and_first_logits(params, cfg, ids, mask, labels, dropout_key=None):
+    logits = t5.forward_logits(
+        params, cfg, ids, labels, mask,
+        deterministic=dropout_key is None, dropout_key=dropout_key,
+    )
+    return token_ce(logits, labels), logits[:, 0, :]
+
+
+def make_train_step(
+    model_cfg: t5.T5Config,
+    controller,
+    tx: optax.GradientTransformation,
+    loss: str = "pair",
+    n_neg_per_example: int = 1,
+    use_mean: bool = True,
+    rel_id: int = 3,
+    nrel_id: int = 4,
+    dropout: bool = False,
+) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
+    """Build step(state, batch) -> (state, metrics).
+
+    loss="pair": main = mean(pce) + mean(nce); curriculum ce = (pce+nce)/2
+    (old/eta_bound.py:73-76, old/levels.py:52).
+    loss="lce": main = mean(pce + agg_n nce); curriculum ce = the same
+    per-example vector (lceT5.py:116-123,131-135).
+    """
+    if loss not in ("pair", "lce"):
+        raise ValueError(loss)
+    n = n_neg_per_example
+
+    def step(state: TrainState, batch: Batch) -> tuple[TrainState, dict]:
+        key, new_key = jax.random.split(state.key)
+        kp, kn = jax.random.split(key)
+
+        def loss_fn(params):
+            pce, p_first = _ce_and_first_logits(
+                params, model_cfg, batch["pos_ids"], batch["pos_mask"],
+                batch["pos_labels"], kp if dropout else None,
+            )
+            nce, n_first = _ce_and_first_logits(
+                params, model_cfg, batch["neg_ids"], batch["neg_mask"],
+                batch["neg_labels"], kn if dropout else None,
+            )
+            if loss == "pair":
+                main = jnp.mean(pce) + jnp.mean(nce)
+                ce = (pce + nce) / 2.0
+            else:
+                ce = lce_ce(pce, nce, n, use_mean)
+                main = jnp.mean(ce)
+            return main, (pce, nce, ce, p_first, n_first)
+
+        (main_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        pce, nce, ce, p_first, n_first = aux
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # Curriculum signals from the same pass (stop_gradient inside
+        # controller.update). success compares each positive against the
+        # FIRST of its negatives (the reference's single-neg probe,
+        # old/levels.py:35-39; for LCE it takes negative j=0).
+        p_prob = relevance_probs(p_first, rel_id, nrel_id)
+        n_prob = relevance_probs(n_first, rel_id, nrel_id)
+        n_prob_first = n_prob.reshape(-1, n)[:, 0] if n > 1 else n_prob
+        signals = StepSignals(
+            pce=pce,
+            nce=nce if loss == "pair" else jnp.mean(nce.reshape(-1, n), axis=1),
+            ce=ce,
+            success=(p_prob > n_prob_first).astype(jnp.float32),
+        )
+        curriculum = controller.update(state.curriculum, signals)
+
+        metrics = {
+            "loss": main_loss,
+            "success_rate": jnp.mean(signals.success),
+            "probs": jnp.mean(p_prob),
+            **controller.metrics(curriculum),
+        }
+        if hasattr(controller, "meta_loss"):
+            metrics["meta_loss"] = controller.meta_loss(state.curriculum, signals)
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            curriculum=curriculum,
+            step=state.step + 1,
+            key=new_key,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_fused_step(
+    corpus,  # DeviceCorpus
+    step_fn,
+    controller,
+    loss: str = "pair",
+    n_neg_per_example: int = 1,
+):
+    """Fuse on-device batch assembly with the train step.
+
+    fused(state, pair_idx) runs: difficulty -> sample negatives -> gather
+    prompts -> step. Scan-compatible: the whole training run can be a single
+    lax.scan over pair-index chunks with zero host round trips.
+    """
+
+    def fused(state: TrainState, pair_idx: jax.Array):
+        difficulty = controller.difficulty(state.curriculum)
+        key = jax.random.fold_in(state.key, state.step)
+        if loss == "lce":
+            batch = corpus.lce_batch(key, pair_idx, difficulty, n_neg_per_example)
+        else:
+            batch = corpus.pair_batch(pair_idx, difficulty)
+        return step_fn(state, batch)
+
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# Bilevel per-example weights (StdWrapper / NewWrapper)
+# ---------------------------------------------------------------------------
+
+
+def make_meta_train_step(
+    model_cfg: t5.T5Config,
+    table: MetaWeightTable,
+    tx: optax.GradientTransformation,
+    meta_lr_schedule: Callable[[jax.Array], jax.Array],
+    variant: str = "cheap",  # "cheap" (NewWrapper) | "std" (StdWrapper)
+    rel_id: int = 3,
+    nrel_id: int = 4,
+):
+    """step(state, batch, batch_idx) with per-example weight-table curriculum.
+
+    cheap (reference NewWrapper, pairwrapper.py:219-284): frozen-model CE
+    drives a closed-form weight update; main loss is unweighted.
+
+    std (reference StdWrapper, pairwrapper.py:102-206): gradient flows
+    through a virtual SGD update theta' = theta - lr * d/dtheta[weighted CE],
+    then d/dv[weighted CE(theta') - sum(v)] updates v; the main loss is
+    weighted by the updated v. In JAX the create_graph machinery
+    (pairwrapper.py:69-74 update_params) is plain jax.grad composition.
+    """
+
+    def per_example(params, batch):
+        pce, _ = _ce_and_first_logits(
+            params, model_cfg, batch["pos_ids"], batch["pos_mask"],
+            batch["pos_labels"],
+        )
+        nce, _ = _ce_and_first_logits(
+            params, model_cfg, batch["neg_ids"], batch["neg_mask"],
+            batch["neg_labels"],
+        )
+        return pce, nce
+
+    def weighted(pce, nce, v):
+        B = v.shape[0]
+        return jnp.sum(pce * v) / B + jnp.sum(nce * v) / B
+
+    def step(state: TrainState, batch: Batch, batch_idx: jax.Array):
+        lr = meta_lr_schedule(state.step)
+        v = table.lookup(state.curriculum, batch_idx)
+
+        if variant == "cheap":
+            pce0, nce0 = per_example(state.params, batch)
+            raw = table.cheap_update(
+                v, jax.lax.stop_gradient(pce0), jax.lax.stop_gradient(nce0), lr
+            )
+            curriculum = table.store(state.curriculum, batch_idx, raw)
+            v_main = None  # unweighted main (pairwrapper.py:241-257)
+        else:
+
+            def outer(v_):
+                grads = jax.grad(
+                    lambda p: weighted(*per_example(p, batch), v_)
+                )(state.params)
+                params_virtual = jax.tree_util.tree_map(
+                    lambda p, g: p - lr * g, state.params, grads
+                )
+                pce_v, nce_v = per_example(params_virtual, batch)
+                return weighted(pce_v, nce_v, v_) - jnp.sum(v_)
+
+            gv = jax.grad(outer)(v)
+            raw = v - lr * gv
+            curriculum = table.store(state.curriculum, batch_idx, raw)
+            v_main = table.lookup(curriculum, batch_idx)
+
+        def main_loss_fn(params):
+            pce, nce = per_example(params, batch)
+            if v_main is None:
+                return jnp.mean(pce) + jnp.mean(nce), (pce, nce)
+            w = jax.lax.stop_gradient(v_main)
+            return (
+                jnp.sum(pce * w) / w.shape[0] + jnp.sum(nce * w) / w.shape[0],
+                (pce, nce),
+            )
+
+        (loss, (pce, nce)), grads = jax.value_and_grad(
+            main_loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {
+            "loss": loss,
+            "avg_weight": jnp.mean(table.lookup(curriculum, batch_idx)),
+        }
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            curriculum=curriculum,
+            step=state.step + 1,
+            key=state.key,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,158 @@
+"""Data layer tests: tokenizers, triples loading, host/device assembly parity."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pacednegatives_tpu.data import (
+    DeviceCorpus,
+    HashTokenizer,
+    TextCorpus,
+    TokenizedStore,
+    TrainedTokenizer,
+    TripletStore,
+    load_triples,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return TextCorpus.synthetic(num_docs=64, num_queries=8, seed=0)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return HashTokenizer(vocab_size=512)
+
+
+@pytest.fixture(scope="module")
+def store(corpus, tok):
+    return TokenizedStore.build(corpus, tok, max_q_tokens=8, max_d_tokens=32)
+
+
+@pytest.fixture(scope="module")
+def triples(corpus):
+    return TripletStore.synthetic(corpus, n_pairs=16, n_neg=10, seed=1)
+
+
+def test_hash_tokenizer_deterministic_and_verbalizers(tok):
+    a = tok.encode("hello world Relevant:")
+    b = tok.encode("hello world Relevant:")
+    assert a == b
+    assert tok.encode("true") == [tok.true_id]
+    assert tok.encode("false") == [tok.false_id]
+    assert tok.encode("x", add_eos=True)[-1] == tok.eos_id
+
+
+def test_trained_tokenizer_roundtrip(tmp_path, corpus):
+    t = TrainedTokenizer.train(corpus.doc_texts + corpus.query_texts, vocab_size=300)
+    ids = t.encode(corpus.doc_texts[0])
+    assert len(ids) > 0 and max(ids) < t.vocab_size
+    assert t.true_id != t.false_id
+    p = str(tmp_path / "tok.json")
+    t.save(p)
+    t2 = TrainedTokenizer.load(p)
+    assert t2.encode(corpus.doc_texts[0]) == ids
+    assert (t2.true_id, t2.false_id) == (t.true_id, t.false_id)
+
+
+def test_load_triples_both_json_layouts(tmp_path, corpus, triples):
+    jsonl = str(tmp_path / "t.jsonl")
+    triples.save_jsonl(jsonl, corpus)
+    recs = load_triples(jsonl)
+    assert len(recs) == 16 and len(recs[0]["doc_id_b"]) == 10
+
+    # records-array layout (pandas to_json orient='records')
+    arr = str(tmp_path / "t.json")
+    with open(arr, "w") as f:
+        json.dump(recs, f)
+    recs2 = load_triples(arr)
+    assert recs2 == recs
+
+
+def test_triplet_store_roundtrip_and_order(tmp_path, corpus, triples):
+    jsonl = str(tmp_path / "t.jsonl")
+    triples.save_jsonl(jsonl, corpus)
+    recs = load_triples(jsonl)
+    st = TripletStore.from_records(recs, corpus)
+    np.testing.assert_array_equal(st.pools, triples.pools)
+    # hard_first flips the pool
+    st_flip = TripletStore.from_records(recs, corpus, order="hard_first")
+    np.testing.assert_array_equal(st_flip.pools, triples.pools[:, ::-1])
+
+
+def test_ragged_pool_normalization(corpus):
+    recs = [
+        {"query_id": "q0", "doc_id_a": "d0", "doc_id_b": ["d1", "d2", "d3", "d4", "d5", "d6"]},
+        {"query_id": "q1", "doc_id_a": "d1", "doc_id_b": ["d7", "d8", "d9"]},
+    ]
+    st = TripletStore.from_records(recs, corpus, n_neg=3)
+    assert st.pools.shape == (2, 3)
+    # balanced subsample keeps endpoints
+    assert st.pools[0, 0] == corpus.doc_index["d1"]
+    assert st.pools[0, -1] == corpus.doc_index["d6"]
+
+
+def test_prompt_assembly_matches_direct_tokenization(corpus, tok, store):
+    """With the hash tokenizer (word = token) and no truncation, segment
+    assembly equals tokenizing the full prompt string, minus padding."""
+    q_row, d_row = 2, 5
+    ids, mask = store.assemble_host(np.array([q_row]), np.array([d_row]))
+    got = ids[0][mask[0] == 1].tolist()
+    want = tok.encode(
+        f"Query: {corpus.query_texts[q_row]} Document: {corpus.doc_texts[d_row]} Relevant:",
+        add_eos=True,
+    )
+    assert got == want
+
+
+def test_device_assembly_matches_host(corpus, tok, store, triples):
+    dc = DeviceCorpus.build(store, triples)
+    q = np.array([0, 3, 5], np.int32)
+    d = np.array([10, 2, 63], np.int32)
+    h_ids, h_mask = store.assemble_host(q, d)
+    d_ids, d_mask = jax.jit(dc.assemble)(jnp.asarray(q), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(d_ids), h_ids)
+    np.testing.assert_array_equal(np.asarray(d_mask), h_mask)
+
+
+def test_pair_batch_selects_by_difficulty(store, triples):
+    dc = DeviceCorpus.build(store, triples)
+    pair_idx = jnp.arange(4)
+    b0 = jax.jit(lambda i: dc.pair_batch(i, jnp.float32(0.0)))(pair_idx)
+    b1 = jax.jit(lambda i: dc.pair_batch(i, jnp.float32(1.0)))(pair_idx)
+    # difficulty 0 -> pool slot 0; difficulty 1 -> last slot
+    d0 = triples.pools[:4, 0]
+    d1 = triples.pools[:4, -1]
+    exp0, _ = store.assemble_host(triples.query_rows[:4], d0)
+    exp1, _ = store.assemble_host(triples.query_rows[:4], d1)
+    np.testing.assert_array_equal(np.asarray(b0["neg_ids"]), exp0)
+    np.testing.assert_array_equal(np.asarray(b1["neg_ids"]), exp1)
+    # labels
+    assert np.all(np.asarray(b0["pos_labels"])[:, 0] == store.true_id)
+    assert np.all(np.asarray(b0["neg_labels"])[:, 0] == store.false_id)
+
+
+def test_lce_batch_shapes_and_pool_membership(store, triples):
+    dc = DeviceCorpus.build(store, triples)
+    pair_idx = jnp.arange(3)
+    batch = jax.jit(
+        lambda k, i: dc.lce_batch(k, i, jnp.float32(0.5), n=4)
+    )(jax.random.key(0), pair_idx)
+    L = store.prompt_len
+    assert batch["pos_ids"].shape == (3, L)
+    assert batch["neg_ids"].shape == (12, L)
+    assert batch["neg_labels"].shape == (12, 2)
+    # each negative prompt's doc tokens must come from that pair's pool
+    neg_ids = np.asarray(batch["neg_ids"]).reshape(3, 4, L)
+    t = store.template
+    d_start = len(t.prefix) + store.q_tokens.shape[1] + len(t.mid)
+    d_end = d_start + store.d_tokens.shape[1]
+    for b in range(3):
+        pool_docs = {tuple(store.d_tokens[r]) for r in triples.pools[b]}
+        for j in range(4):
+            assert tuple(neg_ids[b, j, d_start:d_end]) in pool_docs
