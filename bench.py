@@ -1,0 +1,223 @@
+"""Headline benchmark: negatives scored per second per chip.
+
+Measures the flagship configuration — t5-base monoT5 LCE curriculum training
+(reference train/train_lce.py: batch 16, n=7 negatives/query, ~512-token
+budget) — on the current accelerator, two ways:
+
+1. ``fused`` (this framework): on-device batch assembly + binomial sampling +
+   single-gradient-pass step + eta meta update, scan-chunked, bf16 compute,
+   per-block remat.
+2. ``reference-style`` baseline on the SAME chip: the reference's exact step
+   structure — host-side scipy binomial sampling and numpy batch assembly,
+   host->device transfer, two no-grad forwards for the eta update plus two
+   fresh grad forwards for the main loss (lceT5.py:131-157), one dispatch per
+   step. (The reference publishes no throughput numbers — SURVEY.md §6 — so
+   the same-hardware reimplementation of its step is the baseline.)
+
+Prints one JSON line:
+  {"metric": "negatives_scored_per_sec_per_chip", "value": ..., "unit":
+   "neg/s/chip", "vs_baseline": fused/reference_style, ...extras}
+
+Scale knobs via env: BENCH_MODEL=base|small|tiny, BENCH_STEPS, BENCH_BATCH.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(model_name: str):
+    import dataclasses
+
+    from pacednegatives_tpu.data import (
+        DeviceCorpus,
+        HashTokenizer,
+        TextCorpus,
+        TokenizedStore,
+        TripletStore,
+    )
+    from pacednegatives_tpu.models import T5Config, init_params
+
+    cfg = {
+        "base": T5Config.base,
+        "small": T5Config.small,
+        "tiny": lambda: T5Config.tiny(vocab_size=4096),
+    }[model_name]()
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    policy = os.environ.get("BENCH_REMAT_POLICY", "dots")
+    cfg = dataclasses.replace(
+        cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy
+    )
+
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0, doc_len=150, query_len=12)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=24, max_d_tokens=160)
+    triples = TripletStore.synthetic(corpus, n_pairs=1024, n_neg=100, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    params = init_params(jax.random.key(0), cfg)
+    return cfg, tok, store, triples, dc, params
+
+
+def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
+    from pacednegatives_tpu.curriculum import EtaController
+    from pacednegatives_tpu.train import (
+        init_train_state,
+        make_fused_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    total = steps * 3
+    ctrl = EtaController(eta0=7.0, meta_lr=1e-3, warmup_steps=10, total_steps=total, eta_max=10.0)
+    tx = make_optimizer(lr=1e-3, total_steps=total)
+    step = make_train_step(
+        cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
+        rel_id=tok.true_id, nrel_id=tok.false_id,
+    )
+    fused = make_fused_step(dc, step, ctrl, loss="lce", n_neg_per_example=n)
+    state = init_train_state(params, tx, ctrl.init())
+
+    def chunk_fn(state, idx_chunk):
+        return jax.lax.scan(fused, state, idx_chunk)
+
+    chunk_jit = jax.jit(chunk_fn, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    mk_idx = lambda k: jnp.asarray(
+        rng.integers(0, dc.num_pairs, size=(k, batch_size)).astype(np.int32)
+    )
+    # warmup/compile with the SAME chunk shape as the measured loop
+    steps = (max(steps, chunk) // chunk) * chunk
+    state, m = chunk_jit(state, mk_idx(chunk))
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps // chunk):
+        state, m = chunk_jit(state, mk_idx(chunk))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return steps / dt, float(np.asarray(m["loss"])[-1])
+
+
+def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps):
+    """The reference's per-step structure on the same chip (see module doc)."""
+    import scipy.stats
+
+    from pacednegatives_tpu.curriculum import EtaController
+    from pacednegatives_tpu.curriculum.base import StepSignals
+    from pacednegatives_tpu.models import t5
+    from pacednegatives_tpu.ops.losses import lce_ce, token_ce
+    from pacednegatives_tpu.train import init_train_state, make_optimizer
+    import optax
+
+    ctrl = EtaController(eta0=7.0, meta_lr=1e-3, warmup_steps=10, total_steps=steps * 3, eta_max=10.0)
+    tx = make_optimizer(lr=1e-3, total_steps=steps * 3)
+    state = init_train_state(params, tx, ctrl.init())
+
+    def fwd_ce(params, ids, mask, labels):
+        logits = t5.forward_logits(params, cfg, ids, labels, mask)
+        return token_ce(logits, labels)
+
+    @jax.jit
+    def nograd_ce(params, batch):  # reference meta pass: 2 no-grad forwards
+        pce = fwd_ce(params, batch["pos_ids"], batch["pos_mask"], batch["pos_labels"])
+        nce = fwd_ce(params, batch["neg_ids"], batch["neg_mask"], batch["neg_labels"])
+        return lce_ce(pce, nce, n, True)
+
+    @jax.jit
+    def meta_update(curr, ce):
+        sig = StepSignals(pce=ce, nce=ce, ce=ce, success=jnp.zeros_like(ce))
+        return ctrl.update(curr, sig)
+
+    @jax.jit
+    def main_step(params, opt_state, batch):  # 2 fresh grad forwards + bwd
+        def loss_fn(p):
+            pce = fwd_ce(p, batch["pos_ids"], batch["pos_mask"], batch["pos_labels"])
+            nce = fwd_ce(p, batch["neg_ids"], batch["neg_mask"], batch["neg_labels"])
+            return jnp.mean(lce_ce(pce, nce, n, True))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    n_neg_pool = triples.n_neg
+
+    def host_batch(difficulty):
+        # scipy binomial PMF + np.random.choice per example + numpy assembly
+        pair_idx = rng.integers(0, len(triples), size=batch_size)
+        pmf = scipy.stats.binom.pmf(np.arange(n_neg_pool), n_neg_pool - 1,
+                                    np.clip(difficulty, 1e-10, 1 - 1e-10))
+        pmf = pmf / pmf.sum()
+        neg_rows = np.stack([
+            triples.pools[i][rng.choice(n_neg_pool, size=n, replace=False, p=pmf)]
+            for i in pair_idx
+        ])
+        q = triples.query_rows[pair_idx]
+        pos_ids, pos_mask = store.assemble_host(q, triples.pos_rows[pair_idx])
+        neg_ids, neg_mask = store.assemble_host(np.repeat(q, n), neg_rows.reshape(-1))
+        return {
+            "pos_ids": pos_ids, "pos_mask": pos_mask,
+            "pos_labels": store.labels(batch_size, True),
+            "neg_ids": neg_ids, "neg_mask": neg_mask,
+            "neg_labels": store.labels(batch_size * n, False),
+        }
+
+    def one_step(params, opt_state, curr):
+        batch = {k: jnp.asarray(v) for k, v in host_batch(float(ctrl.difficulty(curr))).items()}
+        ce = nograd_ce(params, batch)          # forwards 1+2 (no grad)
+        curr = meta_update(curr, ce)           # eta step
+        params, opt_state, loss = main_step(params, opt_state, batch)  # forwards 3+4 + bwd
+        return params, opt_state, curr, loss
+
+    params_, opt_state, curr = state.params, state.opt_state, state.curriculum
+    params_, opt_state, curr, loss = one_step(params_, opt_state, curr)  # compile
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params_, opt_state, curr, loss = one_step(params_, opt_state, curr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    model = os.environ.get("BENCH_MODEL", "base")
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    n = int(os.environ.get("BENCH_NEGS", "7"))
+    ref_steps = max(steps // 4, 3)
+
+    cfg, tok, store, triples, dc, params = build(model)
+    params_copy = jax.tree_util.tree_map(jnp.copy, params)
+
+    fused_sps, last_loss = bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1))
+    ref_sps = bench_reference_style(cfg, tok, store, triples, params_copy, batch_size, n, ref_steps)
+
+    value = fused_sps * batch_size * n
+    baseline = ref_sps * batch_size * n
+    print(json.dumps({
+        "metric": "negatives_scored_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "neg/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+        "model": model,
+        "batch_size": batch_size,
+        "n_negatives": n,
+        "fused_steps_per_sec": round(fused_sps, 3),
+        "reference_style_steps_per_sec": round(ref_sps, 3),
+        "device": str(jax.devices()[0]),
+        "final_loss": round(last_loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

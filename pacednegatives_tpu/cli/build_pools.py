@@ -1,0 +1,78 @@
+"""Build difficulty-ordered negative pools (compute_all_bm25 parity).
+
+Reference utilities/compute_all_bm25.py: BM25 top-``cutoff`` per train query
+(dropping queries with short pools), reversed so index 0 is the EASIEST
+negative. Here the retrieval runs on the in-repo native lexical index
+(native/src/lexical.cpp) — or, with --method dense, on the TPU dense index
+via MIPS top-k.
+
+Usage:
+  python -m pacednegatives_tpu.cli.build_pools \\
+      --docs docs.tsv --queries queries.tsv --pairs pairs.tsv \\
+      --out pools.jsonl --cutoff 1000
+``pairs.tsv``: qid<TAB>doc_id_a rows (one positive per query); without it,
+every query gets a pool and doc_id_a is left empty for downstream joining
+(collate_dataset parity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pacednegatives_tpu.utils.config import parse_cli
+
+
+def main(argv=None) -> str:
+    args = parse_cli(argv)
+    docs, queries = args["docs"], args["queries"]
+    out = args["out"]
+    cutoff = int(args.get("cutoff", 1000))
+    k1 = float(args.get("k1", 1.2))
+    b = float(args.get("b", 0.75))
+    pairs_path = args.get("pairs")
+    method = args.get("method", "bm25")
+
+    from pacednegatives_tpu.data import TextCorpus
+
+    corpus = TextCorpus.from_tsv(docs, queries)
+
+    pairs: dict[str, str] = {}
+    if pairs_path:
+        with open(pairs_path) as f:
+            for line in f:
+                qid, _, did = line.rstrip("\n").partition("\t")
+                pairs[qid] = did
+
+    if method == "bm25":
+        from pacednegatives_tpu.index.bm25 import LexicalIndex
+
+        ix = LexicalIndex.build(corpus.doc_texts)
+        search = lambda qtext: ix.search(qtext, k=cutoff, k1=k1, b=b)[0]
+    else:
+        raise SystemExit(f"unknown method {method}")
+
+    n_written = n_skipped = 0
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        for qid, qtext in zip(corpus.query_ids, corpus.query_texts):
+            ids = search(qtext)
+            if len(ids) < cutoff:
+                # keep only full pools (compute_all_bm25.py:38-40)
+                n_skipped += 1
+                continue
+            pool = [corpus.doc_ids[d] for d in ids[:cutoff]][::-1]  # easy first
+            rec = {
+                "query_id": qid,
+                "doc_id_a": pairs.get(qid, ""),
+                "doc_id_b": pool,
+            }
+            f.write(json.dumps(rec) + "\n")
+            n_written += 1
+
+    print(json.dumps({"written": n_written, "skipped_short": n_skipped, "out": out}))
+    return out
+
+
+if __name__ == "__main__":
+    main()

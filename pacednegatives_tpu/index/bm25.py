@@ -1,0 +1,202 @@
+"""Lexical retrieval: ctypes wrapper over the native C++ index, with a pure
+NumPy fallback.
+
+Replaces PISA (pool building, reference compute_all_bm25.py) and Terrier
+(miner/teacher pipelines, mine_negatives.py:69-77) — see native/src/lexical.cpp.
+The shared library auto-builds on first use (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import re
+import subprocess
+from collections import Counter
+from typing import Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liblexical.so"))
+
+MODEL_BM25 = 0
+MODEL_DPH = 1
+QE_NONE = 0
+QE_BO1 = 1
+QE_KL = 2
+QE_RM3 = 3
+
+
+def _load_lib():
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.lex_create.restype = ctypes.c_void_p
+    lib.lex_free.argtypes = [ctypes.c_void_p]
+    lib.lex_add_doc.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lex_num_docs.argtypes = [ctypes.c_void_p]
+    lib.lex_num_docs.restype = ctypes.c_int
+    lib.lex_num_terms.argtypes = [ctypes.c_void_p]
+    lib.lex_num_terms.restype = ctypes.c_int
+    lib.lex_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.lex_search.restype = ctypes.c_int
+    lib.lex_score_pair.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+    ]
+    lib.lex_score_pair.restype = ctypes.c_double
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _load_lib()
+        _LIB_TRIED = True
+    return _LIB
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+class _PyIndex:
+    """NumPy fallback: BM25 only, no query expansion."""
+
+    def __init__(self):
+        self.docs: list[Counter] = []
+        self.df: Counter = Counter()
+        self.doc_len: list[int] = []
+
+    def add(self, text: str):
+        tf = Counter(_tokenize(text))
+        self.docs.append(tf)
+        self.doc_len.append(sum(tf.values()))
+        for t in tf:
+            self.df[t] += 1
+
+    def search(self, query: str, k: int, k1: float, b: float):
+        N = len(self.docs)
+        avgdl = max(np.mean(self.doc_len), 1e-9) if self.doc_len else 1.0
+        q = Counter(_tokenize(query))
+        scores = np.zeros(N)
+        for t, qw in q.items():
+            df = self.df.get(t, 0)
+            if df == 0:
+                continue
+            idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            for d in range(N):
+                tf = self.docs[d].get(t, 0)
+                if tf:
+                    denom = tf + k1 * (1 - b + b * self.doc_len[d] / avgdl)
+                    scores[d] += qw * idf * tf * (k1 + 1) / denom
+        cand = np.nonzero(scores)[0]
+        order = cand[np.lexsort((cand, -scores[cand]))][:k]
+        return order.astype(np.int32), scores[order]
+
+
+class LexicalIndex:
+    """BM25/DPH retrieval over an in-memory corpus.
+
+    doc positions are row indices into the ``texts`` used to build it (align
+    with TextCorpus.doc_ids).
+    """
+
+    def __init__(self, use_native: bool | None = None):
+        lib = _lib() if use_native in (None, True) else None
+        if use_native is True and lib is None:
+            raise RuntimeError("native lexical library unavailable")
+        self._lib = lib
+        self._h = lib.lex_create() if lib else None
+        self._py = None if lib else _PyIndex()
+        self.num_docs = 0
+
+    @classmethod
+    def build(cls, texts: Sequence[str], use_native: bool | None = None):
+        ix = cls(use_native)
+        for t in texts:
+            ix.add_doc(t)
+        return ix
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def add_doc(self, text: str) -> None:
+        if self._lib:
+            self._lib.lex_add_doc(self._h, text.encode("utf-8", "ignore"))
+        else:
+            self._py.add(text)
+        self.num_docs += 1
+
+    def search(
+        self,
+        query: str,
+        k: int = 1000,
+        model: int = MODEL_BM25,
+        k1: float = 1.2,
+        b: float = 0.75,
+        qe: int = QE_NONE,
+        fb_docs: int = 10,
+        fb_terms: int = 20,
+        rm3_lambda: float = 0.6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """-> (doc rows (n,), scores (n,)) best-first, n <= k."""
+        if self._lib is None:
+            if model != MODEL_BM25 or qe != QE_NONE:
+                raise NotImplementedError(
+                    "DPH/query-expansion need the native library"
+                )
+            return self._py.search(query, k, k1, b)
+        ids = (ctypes.c_int32 * k)()
+        scores = (ctypes.c_double * k)()
+        n = self._lib.lex_search(
+            self._h, query.encode("utf-8", "ignore"), k, model, k1, b,
+            qe, fb_docs, fb_terms, rm3_lambda, ids, scores,
+        )
+        return (
+            np.ctypeslib.as_array(ids)[:n].copy(),
+            np.ctypeslib.as_array(scores)[:n].copy(),
+        )
+
+    def score_pair(
+        self, query: str, doc_row: int, model: int = MODEL_BM25,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> float:
+        if self._lib is None:
+            ids, sc = self._py.search(query, self.num_docs, k1, b)
+            pos = np.nonzero(ids == doc_row)[0]
+            return float(sc[pos[0]]) if len(pos) else 0.0
+        return float(
+            self._lib.lex_score_pair(
+                self._h, query.encode("utf-8", "ignore"), doc_row, model, k1, b
+            )
+        )
+
+    def __del__(self):
+        if getattr(self, "_lib", None) and getattr(self, "_h", None):
+            self._lib.lex_free(self._h)
+            self._h = None

@@ -1,0 +1,127 @@
+"""Dense retrieval index: embeddings in HBM, MIPS top-k, difficulty pools.
+
+The performance north star (BASELINE.json): replace offline PISA BM25 pool
+building with an on-device index answering top-k dot-product queries, feeding
+the paced sampler with difficulty-ordered pools each step, refreshed by
+re-encoding the corpus with the current model.
+
+Sharding: embeddings split over the mesh ``data`` axis (each chip scores its
+shard; per-shard top-k candidates are all-gathered over ICI and merged — the
+k*n_shards candidate merge is tiny next to the N-dim scoring).
+
+Pool convention matches data/triples.py: EASIEST FIRST. Top-k returns
+hardest-first (highest score = most query-similar = hardest negative,
+reference compute_all_bm25.py:43-44 reverses exactly like this), so pools
+are the reversed top-k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pacednegatives_tpu.ops.mips import (
+    mips_topk_approx,
+    mips_topk_exact,
+    mips_topk_pallas,
+)
+from pacednegatives_tpu.parallel.mesh import DATA_AXIS
+
+
+def _topk(method: str, queries, docs, k, **kw):
+    if method == "pallas":
+        return mips_topk_pallas(queries, docs, k, **kw)
+    if method == "exact":
+        return mips_topk_exact(queries, docs, k)
+    if method == "approx":
+        return mips_topk_approx(queries, docs, k, **kw)
+    raise ValueError(method)
+
+
+@dataclasses.dataclass
+class DenseIndex:
+    """embeddings: (N, D) fp32/bf16 device array; when ``mesh`` is given the
+    array is sharded (N over data axis) and queries are scored shard-local
+    with an ICI merge."""
+
+    embeddings: jax.Array
+    method: str = "exact"  # "pallas" | "exact" | "approx"
+    mesh: Mesh | None = None
+    method_kwargs: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def num_docs(self) -> int:
+        return self.embeddings.shape[0]
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: jax.Array,
+        method: str = "exact",
+        mesh: Mesh | None = None,
+        **method_kwargs,
+    ) -> "DenseIndex":
+        if mesh is not None:
+            embeddings = jax.device_put(
+                embeddings, NamedSharding(mesh, P(DATA_AXIS, None))
+            )
+        return cls(embeddings, method, mesh, method_kwargs)
+
+    # -- queries --------------------------------------------------------------
+
+    def topk(self, queries: jax.Array, k: int):
+        """(B, D) queries -> (scores (B,k), doc indices (B,k)), desc order."""
+        if self.mesh is None:
+            return _topk(
+                self.method, queries, self.embeddings, k, **self.method_kwargs
+            )
+        return self._topk_sharded(queries, k)
+
+    def _topk_sharded(self, queries: jax.Array, k: int):
+        method, kw = self.method, self.method_kwargs
+        n_shards = self.mesh.shape[DATA_AXIS]
+        shard_n = self.num_docs // n_shards
+
+        def local(q, docs):
+            docs = docs[0] if docs.ndim == 3 else docs
+            v, i = _topk(method, q, docs, k, **kw)
+            i = i + jax.lax.axis_index(DATA_AXIS) * shard_n
+            # gather all shards' candidates: (n_shards, B, k)
+            vs = jax.lax.all_gather(v, DATA_AXIS)
+            is_ = jax.lax.all_gather(i, DATA_AXIS)
+            B = q.shape[0]
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, n_shards * k)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, n_shards * k)
+            mv, pos = jax.lax.top_k(vs, k)
+            return mv, jnp.take_along_axis(is_, pos, axis=1)
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(), P()),
+            # outputs are replicated by the all_gather+merge; the static VMA
+            # checker can't always prove it
+            check_vma=False,
+        )(queries, self.embeddings)
+
+    def mine_pools(self, queries: jax.Array, pool_size: int):
+        """(B, D) queries -> (B, pool_size) doc indices ordered EASIEST
+        FIRST (reversed top-k — parity with compute_all_bm25.py:44)."""
+        _, idx = self.topk(queries, pool_size)
+        return idx[:, ::-1]
+
+    # -- refresh ----------------------------------------------------------------
+
+    def refreshed(self, new_embeddings: jax.Array) -> "DenseIndex":
+        """Double-buffer friendly: returns a new index, old one stays valid
+        until dropped."""
+        if self.mesh is not None:
+            new_embeddings = jax.device_put(
+                new_embeddings, NamedSharding(self.mesh, P(DATA_AXIS, None))
+            )
+        return dataclasses.replace(self, embeddings=new_embeddings)

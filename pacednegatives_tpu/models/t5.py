@@ -51,6 +51,10 @@ class T5Config:
     pad_token_id: int = 0
     decoder_start_token_id: int = 0
     dtype: Any = jnp.float32  # compute dtype for activations
+    remat: bool = False  # per-block rematerialization (trade FLOPs for HBM)
+    # remat policy: "full" recomputes everything; "dots" saves MXU outputs
+    # and recomputes only cheap VPU ops (jax.checkpoint_policies.dots_saveable)
+    remat_policy: str = "full"
 
     @staticmethod
     def small() -> "T5Config":
@@ -120,10 +124,6 @@ def _init_mlp(key, cfg: T5Config):
     }
 
 
-def _ln():
-    return {"scale": jnp.ones((0,))}  # placeholder replaced in init_params
-
-
 def init_params(key: jax.Array, cfg: T5Config) -> PyTree:
     """Random-init a full encoder-decoder parameter pytree."""
     n_enc, n_dec = cfg.num_layers, cfg.num_decoder_layers
@@ -170,6 +170,18 @@ def init_params(key: jax.Array, cfg: T5Config) -> PyTree:
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
+
+
+def _remat_policy(cfg: "T5Config"):
+    if cfg.remat_policy == "dots":
+        # saves every MXU output incl. (B, H, L, L) attention scores — only
+        # viable for short sequences / small batches
+        return jax.checkpoint_policies.dots_saveable
+    if cfg.remat_policy == "dots_nobatch":
+        # saves projection/FFN matmuls, recomputes attention einsums — the
+        # sweet spot: cheap VPU+attention recompute, no (B, H, L, L) residuals
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None  # full recompute
 
 
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float, dtype) -> jax.Array:
@@ -327,16 +339,21 @@ def encode(
     )
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
     for i in range(cfg.num_layers):
-        blk = enc[f"block_{i}"]
-        h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
-        a = attention(
-            blk["self_attn"], cfg, h, h, bias,
-            dropout_key=keys[2 * i], deterministic=deterministic,
-        )
-        x = x + _dropout(a, cfg.dropout_rate, keys[2 * i], deterministic)
-        h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
-        m = mlp(blk["mlp"], cfg, h)
-        x = x + _dropout(m, cfg.dropout_rate, keys[2 * i + 1], deterministic)
+
+        def block(x, blk, bias, _i=i):
+            h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
+            a = attention(
+                blk["self_attn"], cfg, h, h, bias,
+                dropout_key=keys[2 * _i], deterministic=deterministic,
+            )
+            x = x + _dropout(a, cfg.dropout_rate, keys[2 * _i], deterministic)
+            h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
+            m = mlp(blk["mlp"], cfg, h)
+            return x + _dropout(m, cfg.dropout_rate, keys[2 * _i + 1], deterministic)
+
+        if cfg.remat:
+            block = jax.checkpoint(block, policy=_remat_policy(cfg))
+        x = block(x, enc[f"block_{i}"], bias)
 
     x = rms_norm(x, enc["final_ln"]["scale"], cfg.layer_norm_epsilon, dt)
     return _dropout(x, cfg.dropout_rate, keys[-2], deterministic)
@@ -376,22 +393,27 @@ def decode(
     )
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
     for i in range(cfg.num_decoder_layers):
-        blk = dec[f"block_{i}"]
-        h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
-        a = attention(
-            blk["self_attn"], cfg, h, h, self_bias,
-            dropout_key=keys[3 * i], deterministic=deterministic,
-        )
-        x = x + _dropout(a, cfg.dropout_rate, keys[3 * i], deterministic)
-        h = rms_norm(x, blk["ln_cross"]["scale"], cfg.layer_norm_epsilon, dt)
-        a = attention(
-            blk["cross_attn"], cfg, h, encoder_hidden, cross_bias,
-            dropout_key=keys[3 * i + 1], deterministic=deterministic,
-        )
-        x = x + _dropout(a, cfg.dropout_rate, keys[3 * i + 1], deterministic)
-        h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
-        m = mlp(blk["mlp"], cfg, h)
-        x = x + _dropout(m, cfg.dropout_rate, keys[3 * i + 2], deterministic)
+
+        def block(x, blk, self_bias, cross_bias, enc_h, _i=i):
+            h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
+            a = attention(
+                blk["self_attn"], cfg, h, h, self_bias,
+                dropout_key=keys[3 * _i], deterministic=deterministic,
+            )
+            x = x + _dropout(a, cfg.dropout_rate, keys[3 * _i], deterministic)
+            h = rms_norm(x, blk["ln_cross"]["scale"], cfg.layer_norm_epsilon, dt)
+            a = attention(
+                blk["cross_attn"], cfg, h, enc_h, cross_bias,
+                dropout_key=keys[3 * _i + 1], deterministic=deterministic,
+            )
+            x = x + _dropout(a, cfg.dropout_rate, keys[3 * _i + 1], deterministic)
+            h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
+            m = mlp(blk["mlp"], cfg, h)
+            return x + _dropout(m, cfg.dropout_rate, keys[3 * _i + 2], deterministic)
+
+        if cfg.remat:
+            block = jax.checkpoint(block, policy=_remat_policy(cfg))
+        x = block(x, dec[f"block_{i}"], self_bias, cross_bias, encoder_hidden)
 
     x = rms_norm(x, dec["final_ln"]["scale"], cfg.layer_norm_epsilon, dt)
     x = _dropout(x, cfg.dropout_rate, keys[-2], deterministic)

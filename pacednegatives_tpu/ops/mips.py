@@ -1,0 +1,148 @@
+"""Tiled Pallas MIPS (maximum inner product search) top-k kernel.
+
+Replaces the reference's external PISA/Terrier retrieval (SURVEY.md §2.7)
+with on-device dense retrieval: document embeddings stream HBM -> VMEM block
+by block, scores hit the MXU, and only per-block top-k' candidates are ever
+written back — the full (B, N) score matrix never exists in HBM. A cheap XLA
+``lax.top_k`` merges the (num_blocks * k') candidates.
+
+Mosaic has no sort/top_k primitive (checked empirically), so the per-block
+top-k' runs k' rounds of max + first-argmax masking on the VPU — O(k' * B *
+block_n) vector work against O(B * block_n * D) MXU work, negligible for
+k' << D.
+
+Exactness: global top-k is exact iff no doc block contains more than k' of
+the true global top-k. With k' = k it is always exact; with k' < k it is
+near-exact for non-adversarial score distributions (and the default for the
+mining use case, where the consumer is a difficulty-percentile *sampler*).
+
+Alternative paths in index/dense.py: plain XLA einsum + lax.top_k (exact)
+and einsum + lax.approx_max_k (TPU-native approximate top-k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -jnp.inf
+
+
+def _mips_block_kernel(q_ref, d_ref, out_v_ref, out_i_ref, *, k_per_block: int):
+    """One (doc-block) grid step: scores = q @ block.T, then k' rounds of
+    max + mask to extract the block's top-k' per query."""
+    block_i = pl.program_id(0)
+    block_n = d_ref.shape[0]
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        d_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, block_n)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    base = block_i * block_n
+
+    # k' rounds of max + first-argmax masking. Mosaic has no dynamic
+    # lane-indexed stores, so round j inserts into loop-carried (B, k')
+    # registers via a masked select on the lane iota, and the block is
+    # written once at the end.
+    B = scores.shape[0]
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (B, k_per_block), 1)
+    init_v = jnp.full((B, k_per_block), NEG_INF, jnp.float32)
+    init_i = jnp.zeros((B, k_per_block), jnp.int32)
+
+    def round_fn(j, carry):
+        scores, out_v, out_i = carry
+        m = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
+        is_max = scores == m
+        # first index achieving the max
+        amax = jnp.min(jnp.where(is_max, col, block_n), axis=1, keepdims=True)
+        out_v = jnp.where(col_k == j, m, out_v)
+        out_i = jnp.where(col_k == j, amax + base, out_i)
+        scores = jnp.where(col == amax, NEG_INF, scores)
+        return scores, out_v, out_i
+
+    _, out_v, out_i = jax.lax.fori_loop(
+        0, k_per_block, round_fn, (scores, init_v, init_i)
+    )
+    out_v_ref[0] = out_v
+    out_i_ref[0] = out_i
+
+
+def mips_topk_pallas(
+    queries: jax.Array,  # (B, D)
+    docs: jax.Array,  # (N, D)
+    k: int,
+    block_n: int = 1024,
+    k_per_block: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k inner products of each query against all docs.
+
+    Returns (scores (B, k), indices (B, k)), sorted descending. N must be a
+    multiple of block_n (pad docs with zero rows if needed — zero vectors
+    only win when fewer than k real docs exist).
+    """
+    B, D = queries.shape
+    N = docs.shape[0]
+    if N % block_n:
+        raise ValueError(f"N={N} not a multiple of block_n={block_n}")
+    if k_per_block is None:
+        k_per_block = min(k, block_n)
+    k_per_block = min(k_per_block, block_n)
+    num_blocks = N // block_n
+
+    kernel = functools.partial(_mips_block_kernel, k_per_block=k_per_block)
+    cand_v, cand_i = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        # 3-D outputs (num_blocks, B, k') with full-dim trailing blocks —
+        # Mosaic requires last-two block dims be 8/128-aligned OR equal to
+        # the full array dims; (B, k') equals the full dims here.
+        out_specs=(
+            pl.BlockSpec((1, B, k_per_block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, k_per_block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks, B, k_per_block), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, B, k_per_block), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * docs.dtype.itemsize + B * D * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(docs.dtype), docs)
+
+    cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, num_blocks * k_per_block)
+    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, num_blocks * k_per_block)
+    v, merged_pos = jax.lax.top_k(cand_v, k)
+    i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
+    return v, i
+
+
+def mips_topk_exact(queries, docs, k):
+    """XLA reference path: full einsum + exact top_k."""
+    scores = jnp.einsum(
+        "bd,nd->bn", queries, docs, preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def mips_topk_approx(queries, docs, k, recall_target: float = 0.95):
+    """XLA approximate path (TPU-native aggregation, lax.approx_max_k)."""
+    scores = jnp.einsum(
+        "bd,nd->bn", queries, docs, preferred_element_type=jnp.float32
+    )
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)

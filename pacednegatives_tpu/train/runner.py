@@ -1,0 +1,308 @@
+"""One config -> one training run.
+
+This is the capability-parity surface for the reference's five entry points
+(BASELINE.json configs; reference train/{std,eta,level,interpolate,meta}.py
+and train_lce.py): pick a curriculum, point at triples + corpus (or use the
+synthetic corpus), train, save checkpoint + JSONL metrics + config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    # data
+    triples: str = "synthetic"  # path to triples JSON/JSONL, or "synthetic"
+    docs: Optional[str] = None  # TSV id<TAB>text (None -> synthetic corpus)
+    queries: Optional[str] = None
+    pool_order: str = "easy_first"  # "hard_first" flips legacy files
+    n_neg_pool: Optional[int] = None  # pool size cap (None = min length)
+    synthetic_docs: int = 256
+    synthetic_queries: int = 32
+    synthetic_pairs: int = 128
+    synthetic_pool: int = 32
+    # tokenizer: "hash", a trained tokenizer .json, or an HF dir
+    tokenizer: str = "hash"
+    vocab_size: int = 8192
+    max_q_tokens: int = 32
+    max_d_tokens: int = 180
+    # model: "tiny" | "small" | "base" | HF checkpoint dir
+    model: str = "small"
+    bf16: bool = True
+    remat: bool = True
+    remat_policy: str = "dots"
+    dropout: bool = False
+    # curriculum: interp | level | eta | lce | meta-cheap | meta-std
+    curriculum: str = "lce"
+    # shared hparams (reference defaults: train/*.py)
+    total_steps: int = 100_000
+    warmup_steps: Optional[int] = 10_000
+    batch_size: int = 16
+    lr: float = 1e-3
+    meta_lr: Optional[float] = None
+    grad_clip: Optional[float] = 1.0
+    # lce (train_lce.py defaults)
+    n: int = 2
+    var: float = 0.01  # accepted for parity; a normalization no-op (see ops/sampling.py)
+    use_mean: bool = False
+    use_max: bool = False
+    # eta (train/eta.py defaults)
+    eta0: float = 0.5
+    eta_min: float = 1e-10
+    eta_max: float = 1.0
+    # level (train/level.py defaults)
+    success_threshold: float = 0.5
+    heuristic_step_check: int = 1000
+    # interp (train/interpolate.py defaults)
+    start_difficulty: float = 0.0
+    max_difficulty: float = 1.0
+    frac_interpolate: float = 0.1
+    # loop
+    out_dir: str = "runs/out"
+    chunk_size: int = 16
+    log_every_chunks: int = 1
+    checkpoint_every_steps: int = 0
+    resume_from: Optional[str] = None
+    seed: int = 42
+    shuffle: bool = False
+
+
+def _build_tokenizer(cfg: RunConfig):
+    from pacednegatives_tpu.data.tokenizer import (
+        HashTokenizer,
+        TrainedTokenizer,
+        load_hf_tokenizer,
+    )
+
+    if cfg.tokenizer == "hash":
+        return HashTokenizer(vocab_size=cfg.vocab_size)
+    if cfg.tokenizer.endswith(".json"):
+        return TrainedTokenizer.load(cfg.tokenizer)
+    return load_hf_tokenizer(cfg.tokenizer)
+
+
+def _build_model(cfg: RunConfig, tok):
+    from pacednegatives_tpu.models import T5Config, init_params
+    from pacednegatives_tpu.models.hf_import import load_hf_checkpoint
+
+    kw = dict(
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        remat=cfg.remat,
+        remat_policy=cfg.remat_policy,
+    )
+    if cfg.model in ("tiny", "small", "base"):
+        mk = {
+            "tiny": lambda: T5Config.tiny(vocab_size=max(tok.vocab_size, 16)),
+            "small": T5Config.small,
+            "base": T5Config.base,
+        }[cfg.model]
+        mcfg = dataclasses.replace(mk(), vocab_size=max(tok.vocab_size, 16), **kw)
+        params = init_params(jax.random.key(cfg.seed), mcfg)
+    else:
+        params, mcfg = load_hf_checkpoint(cfg.model)
+        mcfg = dataclasses.replace(mcfg, **kw)
+    return params, mcfg
+
+
+def _build_data(cfg: RunConfig, tok):
+    from pacednegatives_tpu.data import (
+        DeviceCorpus,
+        TextCorpus,
+        TokenizedStore,
+        TripletStore,
+        load_triples,
+    )
+
+    if cfg.docs and cfg.queries:
+        corpus = TextCorpus.from_tsv(cfg.docs, cfg.queries)
+    else:
+        corpus = TextCorpus.synthetic(
+            num_docs=cfg.synthetic_docs, num_queries=cfg.synthetic_queries,
+            seed=cfg.seed,
+        )
+    store = TokenizedStore.build(
+        corpus, tok, max_q_tokens=cfg.max_q_tokens, max_d_tokens=cfg.max_d_tokens
+    )
+    if cfg.triples == "synthetic":
+        triples = TripletStore.synthetic(
+            corpus, n_pairs=cfg.synthetic_pairs, n_neg=cfg.synthetic_pool,
+            seed=cfg.seed,
+        )
+    else:
+        triples = TripletStore.from_records(
+            load_triples(cfg.triples), corpus,
+            n_neg=cfg.n_neg_pool, order=cfg.pool_order,
+        )
+    return corpus, store, triples, DeviceCorpus.build(store, triples)
+
+
+def _build_controller(cfg: RunConfig, triples):
+    from pacednegatives_tpu.curriculum import (
+        EtaController,
+        InterpController,
+        LevelController,
+    )
+
+    meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
+    warmup = cfg.warmup_steps if cfg.warmup_steps is not None else cfg.total_steps // 100
+    if cfg.curriculum == "interp":
+        return InterpController(
+            start=cfg.start_difficulty, end=cfg.max_difficulty,
+            num_steps=int(cfg.frac_interpolate * cfg.total_steps),
+            batch_size=cfg.batch_size,
+        )
+    if cfg.curriculum == "level":
+        return LevelController(
+            n_neg=triples.n_neg, threshold=cfg.success_threshold,
+            check_every=cfg.heuristic_step_check,
+        )
+    if cfg.curriculum == "eta":
+        return EtaController(
+            eta0=cfg.eta0, meta_lr=meta_lr,
+            warmup_steps=warmup, total_steps=cfg.total_steps,
+            kind="eta", objective="self_paced",
+            eta_min=cfg.eta_min, eta_max=cfg.eta_max,
+        )
+    if cfg.curriculum == "lce":
+        return EtaController(
+            eta0=cfg.eta0, meta_lr=meta_lr,
+            warmup_steps=warmup, total_steps=cfg.total_steps,
+            kind="lce", objective="weighted_ce", optimizer="adamw",
+            clamp=False,
+        )
+    raise ValueError(f"unknown curriculum {cfg.curriculum}")
+
+
+def load_run(run_dir: str, checkpoint: str = "final"):
+    """Reload a finished run -> (params, model_cfg, tokenizer, RunConfig)."""
+    from pacednegatives_tpu.train import init_train_state, make_optimizer
+    from pacednegatives_tpu.train.loop import restore_checkpoint
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = RunConfig(**json.load(f))
+    tok = _build_tokenizer(cfg)
+    params, mcfg = _build_model(cfg, tok)
+    tx = make_optimizer(cfg.lr, cfg.total_steps, cfg.warmup_steps, grad_clip=cfg.grad_clip)
+    if cfg.curriculum.startswith("meta"):
+        from pacednegatives_tpu.curriculum import MetaWeightTable
+
+        curr = MetaWeightTable(num_batches=1, batch_size=cfg.batch_size).init()
+    else:
+        _, _, triples, _ = _build_data(cfg, tok)
+        curr = _build_controller(cfg, triples).init()
+    template = init_train_state(params, tx, curr, seed=cfg.seed)
+    try:
+        state = restore_checkpoint(os.path.join(run_dir, checkpoint), template)
+        params = state.params
+    except Exception:
+        pass  # fall back to fresh params (e.g. curriculum shape mismatch)
+    return params, mcfg, tok, cfg
+
+
+def run(cfg: RunConfig) -> dict:
+    """Execute a full training run; returns summary dict."""
+    from pacednegatives_tpu.curriculum import MetaWeightTable
+    from pacednegatives_tpu.curriculum.eta import linear_warmup_decay
+    from pacednegatives_tpu.train import (
+        MetricWriter,
+        TrainLoop,
+        init_train_state,
+        make_fused_step,
+        make_meta_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from pacednegatives_tpu.train.loop import (
+        pair_index_stream,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+    tok = _build_tokenizer(cfg)
+    corpus, store, triples, dc = _build_data(cfg, tok)
+    params, mcfg = _build_model(cfg, tok)
+    tx = make_optimizer(
+        cfg.lr, cfg.total_steps, cfg.warmup_steps, grad_clip=cfg.grad_clip
+    )
+    writer = MetricWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
+
+    steps = cfg.total_steps // cfg.batch_size  # reference counts examples
+    meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
+
+    if cfg.curriculum.startswith("meta"):
+        num_batches = max(len(triples) // cfg.batch_size, 1)
+        table = MetaWeightTable(num_batches=num_batches, batch_size=cfg.batch_size)
+        sched = linear_warmup_decay(
+            meta_lr, cfg.warmup_steps or cfg.total_steps // 100, cfg.total_steps
+        )
+        step = jax.jit(
+            make_meta_train_step(
+                mcfg, table, tx, sched,
+                variant=cfg.curriculum.split("-")[1],
+                rel_id=tok.true_id, nrel_id=tok.false_id,
+            )
+        )
+        state = init_train_state(params, tx, table.init(), seed=cfg.seed)
+        if cfg.resume_from:
+            state = restore_checkpoint(cfg.resume_from, state)
+        import time as _time
+
+        t0 = _time.time()
+        for i in range(int(state.step), steps):
+            j = i % num_batches
+            batch = dc.pair_batch(
+                jnp.arange(j * cfg.batch_size, (j + 1) * cfg.batch_size) % dc.num_pairs,
+                jnp.float32(0.0),
+            )
+            state, metrics = step(state, batch, jnp.int32(j))
+            if i % 10 == 0:
+                writer.write({"step": i + 1, **jax.device_get(metrics)})
+        writer.write({"step": steps, "time": _time.time() - t0})
+    else:
+        controller = _build_controller(cfg, triples)
+        loss_kind = "lce" if cfg.curriculum == "lce" else "pair"
+        n = cfg.n if loss_kind == "lce" else 1
+        step = make_train_step(
+            mcfg, controller, tx, loss=loss_kind, n_neg_per_example=n,
+            use_mean=cfg.use_mean, rel_id=tok.true_id, nrel_id=tok.false_id,
+            dropout=cfg.dropout,
+        )
+        fused = make_fused_step(dc, step, controller, loss=loss_kind, n_neg_per_example=n)
+        state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
+        if cfg.resume_from:
+            state = restore_checkpoint(cfg.resume_from, state)
+        loop = TrainLoop(
+            fused_step=fused,
+            num_pairs=len(triples),
+            batch_size=cfg.batch_size,
+            chunk_size=cfg.chunk_size,
+            seed=cfg.seed,
+            shuffle=cfg.shuffle,
+            log_every_chunks=cfg.log_every_chunks,
+            checkpoint_dir=cfg.out_dir,
+            checkpoint_every_steps=cfg.checkpoint_every_steps,
+        )
+        state = loop.run(state, steps, writer)
+
+    save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
+    writer.close()
+    last = [h for h in writer.history if "loss" in h]
+    return {
+        "steps": int(state.step),
+        "final_loss": float(last[-1]["loss"]) if last else None,
+        "out_dir": cfg.out_dir,
+    }

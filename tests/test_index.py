@@ -1,0 +1,127 @@
+"""MIPS kernel parity and dense-index tests (Pallas in interpret mode on CPU;
+compiled path exercised on TPU by bench/verify)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pacednegatives_tpu.index import DenseIndex
+from pacednegatives_tpu.models.dual_encoder import embed, encode_corpus
+from pacednegatives_tpu.ops.mips import (
+    mips_topk_approx,
+    mips_topk_exact,
+    mips_topk_pallas,
+)
+from pacednegatives_tpu.parallel import MeshConfig, create_mesh
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    docs = rng.normal(size=(2048, 64)).astype(np.float32)
+    queries = rng.normal(size=(8, 64)).astype(np.float32)
+    return jnp.asarray(queries), jnp.asarray(docs)
+
+
+def test_pallas_kernel_exact_when_k_per_block_eq_k(data):
+    q, d = data
+    k = 16
+    v, i = mips_topk_pallas(q, d, k, block_n=256, k_per_block=k, interpret=True)
+    rv, ri = mips_topk_exact(q, d, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pallas_kernel_near_exact_small_k_per_block(data):
+    q, d = data
+    k = 32
+    v, i = mips_topk_pallas(q, d, k, block_n=256, k_per_block=8, interpret=True)
+    rv, _ = mips_topk_exact(q, d, k)
+    # recall of true top-k values
+    recall = np.mean(
+        [
+            len(set(np.asarray(v)[b].round(4)) & set(np.asarray(rv)[b].round(4))) / k
+            for b in range(q.shape[0])
+        ]
+    )
+    assert recall > 0.9
+
+
+def test_pallas_rejects_non_multiple_block(data):
+    q, d = data
+    with pytest.raises(ValueError):
+        mips_topk_pallas(q, d, 8, block_n=1000)
+
+
+def test_approx_path_runs(data):
+    q, d = data
+    v, i = mips_topk_approx(q, d, 16)
+    assert v.shape == (8, 16) and i.shape == (8, 16)
+
+
+def test_dense_index_single_device(data):
+    q, d = data
+    idx = DenseIndex.build(d, method="exact")
+    v, i = idx.topk(q, 10)
+    s = np.asarray(q) @ np.asarray(d).T
+    want = np.argsort(-s, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(i), want)
+    # descending scores
+    assert np.all(np.diff(np.asarray(v), axis=1) <= 1e-6)
+
+
+def test_dense_index_sharded_matches_single(data):
+    q, d = data
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    sharded = DenseIndex.build(d, method="exact", mesh=mesh)
+    v_s, i_s = jax.jit(lambda qq: sharded.topk(qq, 10))(q)
+    single = DenseIndex.build(d, method="exact")
+    v, i = single.topk(q, 10)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i))
+
+
+def test_mine_pools_easiest_first(data):
+    q, d = data
+    idx = DenseIndex.build(d, method="exact")
+    pools = idx.mine_pools(q, 20)
+    v, top = idx.topk(q, 20)
+    np.testing.assert_array_equal(np.asarray(pools), np.asarray(top)[:, ::-1])
+    # pool[-1] is the highest-scoring (hardest) candidate
+    s = np.asarray(q) @ np.asarray(d).T
+    hardest = s.argmax(axis=1)
+    np.testing.assert_array_equal(np.asarray(pools)[:, -1], hardest)
+
+
+def test_embed_and_encode_corpus():
+    from pacednegatives_tpu.models import T5Config, init_params
+
+    cfg = T5Config.tiny(vocab_size=128)
+    params = init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(2, 128, size=(10, 12)).astype(np.int32)
+    mask = np.ones_like(tokens)
+    mask[:, 9:] = 0
+
+    e = embed(params, cfg, jnp.asarray(tokens), jnp.asarray(mask))
+    assert e.shape == (10, cfg.d_model)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(e), axis=1), 1.0, rtol=1e-5
+    )
+
+    # batched scan path matches direct, incl. the padded tail
+    e2 = encode_corpus(params, cfg, jnp.asarray(tokens), jnp.asarray(mask), batch_size=4)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e), rtol=2e-5, atol=2e-6)
+
+
+def test_refreshed_returns_new_index(data):
+    q, d = data
+    idx = DenseIndex.build(d, method="exact")
+    d2 = jnp.asarray(np.roll(np.asarray(d), 1, axis=0))
+    idx2 = idx.refreshed(d2)
+    assert idx2 is not idx
+    v1, i1 = idx.topk(q, 5)
+    v2, i2 = idx2.topk(q, 5)
+    np.testing.assert_array_equal((np.asarray(i1) + 1) % 2048, np.asarray(i2))
