@@ -1,0 +1,182 @@
+"""Online negative mining: the dense index feeds the paced sampler at train
+time.
+
+This is the BASELINE.json north star — the inversion of the reference's
+offline pipeline. The reference builds static BM25 pools once (PISA, CPU)
+and only *selects* from them during training; here each step:
+
+  1. embeds the batch queries with the CURRENT model (dual_encoder over the
+     shared encoder stack),
+  2. mines a fresh difficulty-ordered pool per query from the HBM dense
+     index (MIPS top-k, reversed to easiest-first),
+  3. samples n negatives from the paced binomial over pool ranks (exactly
+     the static-pool sampler semantics — the difficulty axis is preserved),
+  4. assembles prompts from the device-resident token matrices and runs the
+     fused train step,
+
+all inside one jitted program — mining never stalls the MXU on host I/O.
+
+The index refreshes every ``refresh_every`` steps by re-encoding the corpus
+with the current parameters. Refresh is itself a single device program
+enqueued between scan chunks: with JAX's async dispatch the host never
+blocks, and training continues against the previous embeddings until the
+swap (double buffering at the dispatch level — SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pacednegatives_tpu.data.device_corpus import DeviceCorpus
+from pacednegatives_tpu.models import t5
+from pacednegatives_tpu.models.dual_encoder import embed, encode_corpus
+from pacednegatives_tpu.ops.mips import mips_topk_approx, mips_topk_exact
+from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
+from pacednegatives_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class OnlineMiningConfig:
+    pool_size: int = 64  # mined pool per query (reference pools are 1000)
+    refresh_every: int = 200  # steps between corpus re-encodes
+    encode_batch: int = 128
+    method: str = "exact"  # "exact" | "approx"
+    exclude_positive: bool = True
+
+
+def make_online_fused_step(
+    corpus: DeviceCorpus,
+    step_fn: Callable,
+    controller,
+    model_cfg: t5.T5Config,
+    mining: OnlineMiningConfig,
+    n_neg_per_example: int = 1,
+):
+    """fused((state, embeddings), pair_idx) -> ((state', embeddings), metrics).
+
+    ``embeddings`` (num_docs, D) ride the scan carry so the whole loop stays
+    on device; refresh swaps them between chunks.
+    """
+    topk = mips_topk_exact if mining.method == "exact" else mips_topk_approx
+    n = n_neg_per_example
+
+    def fused(carry, pair_idx):
+        state, embeddings = carry
+        difficulty = controller.difficulty(state.curriculum)
+        B = pair_idx.shape[0]
+
+        q_rows = corpus.query_rows[pair_idx]
+        pos_rows = corpus.pos_rows[pair_idx]
+
+        # 1. query embeddings under the CURRENT params (no grad into mining)
+        params = jax.lax.stop_gradient(state.params)
+        q_emb = embed(
+            params, model_cfg, corpus.q_tokens[q_rows], corpus.q_mask[q_rows]
+        ).astype(embeddings.dtype)
+
+        # 2. mine pools: top-k hardest, reversed to easiest-first
+        k = mining.pool_size + (1 if mining.exclude_positive else 0)
+        _, idx = topk(q_emb, embeddings, k)
+        if mining.exclude_positive:
+            # drop the positive if retrieved; else drop the extra last slot
+            is_pos = idx == pos_rows[:, None]
+            # stable compaction: give positives the worst sort key
+            rank = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+            sort_key = jnp.where(is_pos, k + 1, rank)
+            order = jnp.argsort(sort_key, axis=1)
+            idx = jnp.take_along_axis(idx, order, axis=1)[:, : mining.pool_size]
+        pools = idx[:, ::-1]  # easiest first (compute_all_bm25.py:44 parity)
+
+        # 3. paced binomial sampling over pool ranks
+        key = jax.random.fold_in(state.key, state.step)
+        slots = sample_pool_indices_batch(
+            key, mining.pool_size, jnp.broadcast_to(difficulty, (B,)), n
+        )
+        neg_rows = jnp.take_along_axis(pools, slots, axis=1)  # (B, n)
+
+        # 4. assemble + step
+        pos_ids, pos_mask = corpus.assemble(q_rows, pos_rows)
+        neg_ids, neg_mask = corpus.assemble(
+            jnp.repeat(q_rows, n), neg_rows.reshape(-1)
+        )
+        batch = {
+            "pos_ids": pos_ids,
+            "pos_mask": pos_mask,
+            "pos_labels": corpus.labels(B, True),
+            "neg_ids": neg_ids,
+            "neg_mask": neg_mask,
+            "neg_labels": corpus.labels(B * n, False),
+        }
+        state, metrics = step_fn(state, batch)
+        return (state, embeddings), metrics
+
+    return fused
+
+
+def make_refresh_fn(
+    corpus: DeviceCorpus, model_cfg: t5.T5Config, mining: OnlineMiningConfig
+):
+    """jitted params -> fresh (num_docs, D) corpus embeddings."""
+
+    @jax.jit
+    def refresh(params):
+        return encode_corpus(
+            params, model_cfg, corpus.d_tokens, corpus.d_mask,
+            batch_size=mining.encode_batch,
+        )
+
+    return refresh
+
+
+@dataclasses.dataclass
+class OnlineMiningLoop:
+    """Scan-chunked training with periodic index refresh."""
+
+    fused_step: Callable  # from make_online_fused_step
+    refresh_fn: Callable  # from make_refresh_fn
+    num_pairs: int
+    batch_size: int
+    chunk_size: int = 16
+    refresh_every: int = 200
+    seed: int = 0
+
+    def __post_init__(self):
+        def chunk_fn(carry, idx_chunk):
+            return jax.lax.scan(self.fused_step, carry, idx_chunk)
+
+        self._chunk_fn = jax.jit(chunk_fn, donate_argnums=0)
+
+    def run(self, state: TrainState, total_steps: int, writer=None):
+        from pacednegatives_tpu.train.loop import MetricWriter, pair_index_stream
+
+        writer = writer or MetricWriter(None)
+        stream = pair_index_stream(self.num_pairs, self.batch_size, self.seed)
+
+        embeddings = self.refresh_fn(state.params)
+        carry = (state, embeddings)
+        done = 0
+        since_refresh = 0
+        while done < total_steps:
+            k = min(self.chunk_size, total_steps - done)
+            idx = np.stack([next(stream) for _ in range(k)])
+            carry, metrics = self._chunk_fn(carry, jnp.asarray(idx))
+            done += k
+            since_refresh += k
+
+            host = jax.device_get(metrics)
+            writer.write(
+                {"step": done, **{m: np.asarray(v)[-1] for m, v in host.items()}}
+            )
+            if since_refresh >= self.refresh_every and done < total_steps:
+                state, _old = carry
+                # async dispatch: enqueued behind the last chunk, the host
+                # continues immediately; next chunk uses the new embeddings
+                embeddings = self.refresh_fn(state.params)
+                carry = (state, embeddings)
+                since_refresh = 0
+        return carry[0]

@@ -67,6 +67,14 @@ class RunConfig:
     start_difficulty: float = 0.0
     max_difficulty: float = 1.0
     frac_interpolate: float = 0.1
+    # contrast (train/meta.py -> MetaContrastWrapper defaults)
+    rate_check: int = 1000
+    # mining: "static" (precomputed pools) | "online" (dense index, north star)
+    mining: str = "static"
+    pool_size: int = 64
+    refresh_every: int = 200
+    encode_batch: int = 128
+    grad_accum_steps: int = 1
     # loop
     out_dir: str = "runs/out"
     chunk_size: int = 16
@@ -180,6 +188,16 @@ def _build_controller(cfg: RunConfig, triples):
             kind="lce", objective="weighted_ce", optimizer="adamw",
             clamp=False,
         )
+    if cfg.curriculum == "contrast":
+        from pacednegatives_tpu.curriculum import ContrastController
+
+        return ContrastController(
+            eta0=cfg.eta0, meta_lr=meta_lr,
+            warmup_steps=warmup, total_steps=cfg.total_steps,
+            eta_min=cfg.eta_min, eta_max=cfg.eta_max,
+            n_neg=triples.n_neg, threshold=cfg.success_threshold,
+            rate_check=cfg.rate_check,
+        )
     raise ValueError(f"unknown curriculum {cfg.curriculum}")
 
 
@@ -236,7 +254,8 @@ def run(cfg: RunConfig) -> dict:
     corpus, store, triples, dc = _build_data(cfg, tok)
     params, mcfg = _build_model(cfg, tok)
     tx = make_optimizer(
-        cfg.lr, cfg.total_steps, cfg.warmup_steps, grad_clip=cfg.grad_clip
+        cfg.lr, cfg.total_steps, cfg.warmup_steps,
+        grad_clip=cfg.grad_clip, grad_accum_steps=cfg.grad_accum_steps,
     )
     writer = MetricWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
 
@@ -281,22 +300,51 @@ def run(cfg: RunConfig) -> dict:
             use_mean=cfg.use_mean, rel_id=tok.true_id, nrel_id=tok.false_id,
             dropout=cfg.dropout,
         )
-        fused = make_fused_step(dc, step, controller, loss=loss_kind, n_neg_per_example=n)
         state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
         if cfg.resume_from:
             state = restore_checkpoint(cfg.resume_from, state)
-        loop = TrainLoop(
-            fused_step=fused,
-            num_pairs=len(triples),
-            batch_size=cfg.batch_size,
-            chunk_size=cfg.chunk_size,
-            seed=cfg.seed,
-            shuffle=cfg.shuffle,
-            log_every_chunks=cfg.log_every_chunks,
-            checkpoint_dir=cfg.out_dir,
-            checkpoint_every_steps=cfg.checkpoint_every_steps,
-        )
-        state = loop.run(state, steps, writer)
+        if cfg.mining == "online":
+            from pacednegatives_tpu.train.online import (
+                OnlineMiningConfig,
+                OnlineMiningLoop,
+                make_online_fused_step,
+                make_refresh_fn,
+            )
+
+            mining = OnlineMiningConfig(
+                pool_size=cfg.pool_size,
+                refresh_every=cfg.refresh_every,
+                encode_batch=cfg.encode_batch,
+            )
+            fused = make_online_fused_step(
+                dc, step, controller, mcfg, mining, n_neg_per_example=n
+            )
+            loop = OnlineMiningLoop(
+                fused_step=fused,
+                refresh_fn=make_refresh_fn(dc, mcfg, mining),
+                num_pairs=len(triples),
+                batch_size=cfg.batch_size,
+                chunk_size=cfg.chunk_size,
+                refresh_every=cfg.refresh_every,
+                seed=cfg.seed,
+            )
+            state = loop.run(state, steps, writer)
+        else:
+            fused = make_fused_step(
+                dc, step, controller, loss=loss_kind, n_neg_per_example=n
+            )
+            loop = TrainLoop(
+                fused_step=fused,
+                num_pairs=len(triples),
+                batch_size=cfg.batch_size,
+                chunk_size=cfg.chunk_size,
+                seed=cfg.seed,
+                shuffle=cfg.shuffle,
+                log_every_chunks=cfg.log_every_chunks,
+                checkpoint_dir=cfg.out_dir,
+                checkpoint_every_steps=cfg.checkpoint_every_steps,
+            )
+            state = loop.run(state, steps, writer)
 
     save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
     writer.close()

@@ -30,13 +30,19 @@ def make_optimizer(
     warmup_steps: int | None = None,
     weight_decay: float = 0.01,
     grad_clip: float | None = 1.0,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW + linear warmup-decay (+ optional global-norm clipping and
+    gradient accumulation — the HF-fork features the reference inherits at
+    utilities/trainer.py:575,598-628)."""
     if warmup_steps is None:
         warmup_steps = max(total_steps // 100, 1)
     schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
     tx = optax.adamw(schedule, weight_decay=weight_decay)
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
 
 
