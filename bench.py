@@ -88,6 +88,7 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         return jax.lax.scan(fused, state, idx_chunk)
 
     chunk_jit = jax.jit(chunk_fn, donate_argnums=0)
+    bench_fused.flops_per_step = None
 
     rng = np.random.default_rng(0)
     mk_idx = lambda k: jnp.asarray(
@@ -95,7 +96,15 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     )
     # warmup/compile with the SAME chunk shape as the measured loop
     steps = (max(steps, chunk) // chunk) * chunk
-    state, m = chunk_jit(state, mk_idx(chunk))
+    warm_idx = mk_idx(chunk)
+    try:
+        analysis = chunk_jit.lower(state, warm_idx).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        bench_fused.flops_per_step = float(analysis.get("flops", 0.0)) / chunk
+    except Exception:
+        pass
+    state, m = chunk_jit(state, warm_idx)
     jax.block_until_ready(m["loss"])
 
     t0 = time.perf_counter()
@@ -204,7 +213,7 @@ def main():
 
     value = fused_sps * batch_size * n
     baseline = ref_sps * batch_size * n
-    print(json.dumps({
+    record = {
         "metric": "negatives_scored_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "neg/s/chip",
@@ -216,7 +225,12 @@ def main():
         "reference_style_steps_per_sec": round(ref_sps, 3),
         "device": str(jax.devices()[0]),
         "final_loss": round(last_loss, 4),
-    }))
+    }
+    if bench_fused.flops_per_step:
+        record["tflops_per_sec"] = round(
+            bench_fused.flops_per_step * fused_sps / 1e12, 1
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -48,15 +48,23 @@ def main(argv=None) -> str:
         from pacednegatives_tpu.index.bm25 import LexicalIndex
 
         ix = LexicalIndex.build(corpus.doc_texts)
-        search = lambda qtext: ix.search(qtext, k=cutoff, k1=k1, b=b)[0]
+        pools_iter = (
+            (qid, ix.search(qtext, k=cutoff, k1=k1, b=b)[0])
+            for qid, qtext in zip(corpus.query_ids, corpus.query_texts)
+        )
+    elif method == "dense":
+        # Dense-retrieval pool building (the reference's compute_all_splade
+        # analogue, utilities/compute_all_splade.py:28-30, with our dual
+        # encoder instead of SPLADE): encode corpus + queries with a trained
+        # run's model, MIPS top-k on the accelerator.
+        pools_iter = _dense_pools(args, corpus, cutoff)
     else:
         raise SystemExit(f"unknown method {method}")
 
     n_written = n_skipped = 0
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
-        for qid, qtext in zip(corpus.query_ids, corpus.query_texts):
-            ids = search(qtext)
+        for qid, ids in pools_iter:
             if len(ids) < cutoff:
                 # keep only full pools (compute_all_bm25.py:38-40)
                 n_skipped += 1
@@ -72,6 +80,41 @@ def main(argv=None) -> str:
 
     print(json.dumps({"written": n_written, "skipped_short": n_skipped, "out": out}))
     return out
+
+
+def _dense_pools(args: dict, corpus, cutoff: int):
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from pacednegatives_tpu.data import TokenizedStore
+    from pacednegatives_tpu.index import DenseIndex
+    from pacednegatives_tpu.models.dual_encoder import encode_corpus
+    from pacednegatives_tpu.train.runner import load_run
+
+    run_dir = args.get("run")
+    if not run_dir:
+        raise SystemExit("--method dense needs --run <trained run dir>")
+    params, mcfg, tok, rc = load_run(run_dir)
+    store = TokenizedStore.build(
+        corpus, tok, max_q_tokens=rc.max_q_tokens, max_d_tokens=rc.max_d_tokens
+    )
+    d_emb = encode_corpus(
+        params, mcfg, jnp.asarray(store.d_tokens), jnp.asarray(store.d_mask),
+        batch_size=int(args.get("encode_batch", 256)),
+    )
+    q_emb = encode_corpus(
+        params, mcfg, jnp.asarray(store.q_tokens), jnp.asarray(store.q_mask),
+        batch_size=int(args.get("encode_batch", 256)),
+    )
+    index = DenseIndex.build(d_emb, method=args.get("topk", "exact"))
+    B = 64
+    for s in range(0, corpus.num_queries, B):
+        e = min(s + B, corpus.num_queries)
+        _, idx = index.topk(q_emb[s:e], min(cutoff, corpus.num_docs))
+        idx = np.asarray(idx)
+        for row, qid in enumerate(corpus.query_ids[s:e]):
+            yield qid, idx[row]
 
 
 if __name__ == "__main__":

@@ -103,6 +103,29 @@ def test_build_pools_cli(tmp_path):
     assert all(len(r["doc_id_b"]) == 8 for r in recs)
 
 
+def test_build_pools_dense_method(tmp_path):
+    """compute_all_splade-analogue: dense pools from a trained run's encoder."""
+    from pacednegatives_tpu.cli.build_pools import main
+    from pacednegatives_tpu.data import TextCorpus, load_triples
+
+    cfg = RunConfig(curriculum="interp", out_dir=str(tmp_path / "run"), **TINY)
+    run(cfg)
+    corpus = TextCorpus.synthetic(num_docs=32, num_queries=8, seed=42)
+    docs, queries = str(tmp_path / "docs.tsv"), str(tmp_path / "queries.tsv")
+    with open(docs, "w") as f:
+        for i, t in zip(corpus.doc_ids, corpus.doc_texts):
+            f.write(f"{i}\t{t}\n")
+    with open(queries, "w") as f:
+        for i, t in zip(corpus.query_ids, corpus.query_texts):
+            f.write(f"{i}\t{t}\n")
+    out = str(tmp_path / "pools.jsonl")
+    main(["--docs", docs, "--queries", queries, "--out", out,
+          "--cutoff", "8", "--method", "dense", "--run", str(tmp_path / "run")])
+    recs = load_triples(out)
+    assert len(recs) == 8
+    assert all(len(r["doc_id_b"]) == 8 for r in recs)
+
+
 def test_train_cli_main(tmp_path):
     from pacednegatives_tpu.cli.train import main
 
