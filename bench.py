@@ -51,7 +51,7 @@ def build(model_name: str):
         "tiny": lambda: T5Config.tiny(vocab_size=4096),
     }[model_name]()
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
-    policy = os.environ.get("BENCH_REMAT_POLICY", "dots")
+    policy = os.environ.get("BENCH_REMAT_POLICY", "dots_nobatch")
     cfg = dataclasses.replace(
         cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy
     )
@@ -88,7 +88,19 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         return jax.lax.scan(fused, state, idx_chunk)
 
     chunk_jit = jax.jit(chunk_fn, donate_argnums=0)
-    bench_fused.flops_per_step = None
+
+    # Analytic model FLOPs per step (XLA cost_analysis undercounts nested
+    # remat computations): ~3x forward for fwd+bwd, plus attention terms.
+    from pacednegatives_tpu.models.t5 import count_params
+
+    L = dc.prefix.shape[0] + dc.q_tokens.shape[1] + dc.mid.shape[0] + \
+        dc.d_tokens.shape[1] + dc.suffix.shape[0]
+    seqs = batch_size * (1 + n)
+    tokens = seqs * L
+    n_layers = cfg.num_layers + cfg.num_decoder_layers
+    attn_flops = 4 * seqs * cfg.num_heads * L * L * cfg.d_kv * n_layers
+    fwd = 2 * count_params(params) * tokens + attn_flops
+    bench_fused.flops_per_step = 3.2 * fwd  # fwd + bwd(2x) + remat recompute
 
     rng = np.random.default_rng(0)
     mk_idx = lambda k: jnp.asarray(
@@ -97,13 +109,6 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     # warmup/compile with the SAME chunk shape as the measured loop
     steps = (max(steps, chunk) // chunk) * chunk
     warm_idx = mk_idx(chunk)
-    try:
-        analysis = chunk_jit.lower(state, warm_idx).compile().cost_analysis()
-        if isinstance(analysis, list):
-            analysis = analysis[0]
-        bench_fused.flops_per_step = float(analysis.get("flops", 0.0)) / chunk
-    except Exception:
-        pass
     state, m = chunk_jit(state, warm_idx)
     jax.block_until_ready(m["loss"])
 
@@ -198,18 +203,67 @@ def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps
     return steps / dt
 
 
-def main():
+def run_phase(phase: str):
+    """Run one measurement phase and print a phase-JSON line. Phases run in
+    separate processes so one phase's HBM footprint (executables, donated
+    buffers, fragmentation) can't starve the other."""
     model = os.environ.get("BENCH_MODEL", "base")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     n = int(os.environ.get("BENCH_NEGS", "7"))
-    ref_steps = max(steps // 4, 3)
 
     cfg, tok, store, triples, dc, params = build(model)
-    params_copy = jax.tree_util.tree_map(jnp.copy, params)
+    if phase == "fused":
+        sps, last_loss = bench_fused(
+            cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1)
+        )
+        print(json.dumps({
+            "phase": "fused", "steps_per_sec": sps, "final_loss": last_loss,
+            "flops_per_step": bench_fused.flops_per_step,
+        }))
+    else:
+        sps = bench_reference_style(
+            cfg, tok, store, triples, params, batch_size, n, max(steps // 4, 3)
+        )
+        print(json.dumps({"phase": "ref", "steps_per_sec": sps}))
 
-    fused_sps, last_loss = bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1))
-    ref_sps = bench_reference_style(cfg, tok, store, triples, params_copy, batch_size, n, ref_steps)
+
+def main():
+    import subprocess
+    import sys
+
+    phase = os.environ.get("BENCH_PHASE")
+    if phase:
+        run_phase(phase)
+        return
+
+    model = os.environ.get("BENCH_MODEL", "base")
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    n = int(os.environ.get("BENCH_NEGS", "7"))
+
+    results = {}
+    for ph in ("fused", "ref"):
+        env = dict(os.environ, BENCH_PHASE=ph)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("phase") == ph:
+                results[ph] = rec
+        if ph not in results:
+            raise SystemExit(
+                f"phase {ph} failed:\n{proc.stdout[-500:]}\n{proc.stderr[-2000:]}"
+            )
+
+    fused_sps = results["fused"]["steps_per_sec"]
+    last_loss = results["fused"]["final_loss"]
+    flops_per_step = results["fused"].get("flops_per_step")
+    ref_sps = results["ref"]["steps_per_sec"]
 
     value = fused_sps * batch_size * n
     baseline = ref_sps * batch_size * n
@@ -226,9 +280,9 @@ def main():
         "device": str(jax.devices()[0]),
         "final_loss": round(last_loss, 4),
     }
-    if bench_fused.flops_per_step:
-        record["tflops_per_sec"] = round(
-            bench_fused.flops_per_step * fused_sps / 1e12, 1
+    if flops_per_step:
+        record["approx_tflops_per_sec"] = round(
+            flops_per_step * fused_sps / 1e12, 1
         )
     print(json.dumps(record))
 

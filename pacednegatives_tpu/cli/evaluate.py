@@ -105,6 +105,21 @@ def main(argv=None) -> list[dict]:
 
     rows = experiment(runs, qrels, metrics=METRICS, baseline=baseline_name)
     _write_rows(join(out, "results.csv"), rows)
+
+    if args.get("perquery", "false").lower() in ("1", "true", "yes"):
+        # per-query long format (eval.py:45-46 perquery parity)
+        from pacednegatives_tpu.eval import evaluate_run
+
+        pq_rows = []
+        for name, r in runs.items():
+            per = evaluate_run(r, qrels, METRICS)
+            for m, by_q in per.items():
+                for qid, val in by_q.items():
+                    pq_rows.append(
+                        {"name": name, "qid": qid, "measure": m, "value": val}
+                    )
+        _write_rows(join(out, "perqueryresults.csv"), pq_rows)
+
     print(json.dumps(rows))
     return rows
 

@@ -55,6 +55,24 @@ def linear_warmup_decay(peak_lr: float, warmup_steps: int, total_steps: int):
     return schedule
 
 
+def milestone_decay(base_schedule, milestones: dict[int, float]):
+    """Multiply a schedule by a factor from each milestone step onward.
+
+    Parity with the reference HF-fork's epoch-wise meta-LR decay (x0.1 at
+    1/4 and 1/2 of training, utilities/trainer.py:528):
+    ``milestone_decay(sched, {total//4: 0.1, total//2: 0.1})``.
+    """
+
+    def schedule(step):
+        lr = base_schedule(step)
+        s = jnp.asarray(step, jnp.float32)
+        for at, factor in sorted(milestones.items()):
+            lr = lr * jnp.where(s >= at, factor, 1.0)
+        return lr
+
+    return schedule
+
+
 @dataclasses.dataclass(frozen=True)
 class EtaController:
     eta0: float = 0.5

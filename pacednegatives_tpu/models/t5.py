@@ -282,8 +282,10 @@ def attention(
 def mlp(p: PyTree, cfg: T5Config, x: jax.Array) -> jax.Array:
     dt = cfg.dtype
     if cfg.gated_ffn:
+        # approximate=True == HF NewGELUActivation (tanh form) used by
+        # T5 v1.1's gated FFN
         h = jax.nn.gelu(
-            jnp.einsum("bld,df->blf", x, p["wi_0"].astype(dt)), approximate=False
+            jnp.einsum("bld,df->blf", x, p["wi_0"].astype(dt)), approximate=True
         ) * jnp.einsum("bld,df->blf", x, p["wi_1"].astype(dt))
     else:
         h = jax.nn.relu(jnp.einsum("bld,df->blf", x, p["wi"].astype(dt)))

@@ -25,39 +25,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"  # reserved: negative-/sequence-parallel axis (SURVEY §2.6)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Logical mesh shape. ``-1`` means "all remaining devices"."""
+    """Logical mesh shape. ``-1`` means "all remaining devices".
+
+    ``seq`` reserves a third axis for sequence/negative parallelism —
+    the reference caps sequences at 512 so it is unused by default, but the
+    mesh carries it so LCE over large n can shard negatives across chips
+    without re-plumbing (SURVEY.md §5 long-context note).
+    """
 
     data: int = -1
     model: int = 1
+    seq: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
-        data, model = self.data, self.model
-        if data == -1 and model == -1:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        data, model, seq = self.data, self.model, self.seq
+        if sum(x == -1 for x in (data, model, seq)) > 1:
             raise ValueError("at most one mesh axis may be -1")
         if model == -1:
-            model = n_devices // max(data, 1)
+            model = n_devices // (max(data, 1) * max(seq, 1))
+        if seq == -1:
+            seq = n_devices // (max(data, 1) * max(model, 1))
         if data == -1:
-            data = n_devices // max(model, 1)
-        if data * model != n_devices:
+            data = n_devices // (max(model, 1) * max(seq, 1))
+        if data * model * seq != n_devices:
             raise ValueError(
-                f"mesh {data}x{model} does not cover {n_devices} devices"
+                f"mesh {data}x{seq}x{model} does not cover {n_devices} devices"
             )
-        return data, model
+        return data, model, seq
 
 
 def create_mesh(
     config: MeshConfig | None = None, devices: Sequence[Any] | None = None
 ) -> Mesh:
-    """Build a 2-D (data, model) mesh over the available devices."""
+    """Build a (data, seq, model) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
-    data, model = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    data, model, seq = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

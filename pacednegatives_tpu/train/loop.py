@@ -29,11 +29,25 @@ from pacednegatives_tpu.train.state import TrainState
 
 
 class MetricWriter:
-    """JSONL metric stream (one line per logged step)."""
+    """JSONL metric stream (one line per logged step), with optional wandb
+    mirroring when the package exists and a project is named (parity with
+    the reference's per-step wandb.log, old/eta_bound.py:142-150; this
+    environment has no wandb, so JSONL is the primary sink)."""
 
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, wandb_project: str | None = None,
+                 wandb_config: dict | None = None):
         self._f = open(path, "a") if path else None
         self.history: list[dict] = []
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, config=wandb_config or {}
+                )
+            except Exception:
+                self._wandb = None
 
     def write(self, record: dict[str, Any]) -> None:
         rec = {
@@ -43,6 +57,8 @@ class MetricWriter:
         self.history.append(rec)
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(rec)
 
     def flush(self) -> None:
         if self._f:
@@ -52,6 +68,9 @@ class MetricWriter:
         if self._f:
             self._f.close()
             self._f = None
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None
 
 
 # -- checkpointing -----------------------------------------------------------

@@ -83,6 +83,8 @@ class RunConfig:
     resume_from: Optional[str] = None
     seed: int = 42
     shuffle: bool = False
+    wandb_project: Optional[str] = None
+    export_hf: bool = False  # also write a transformers-loadable dir
 
 
 def _build_tokenizer(cfg: RunConfig):
@@ -257,7 +259,11 @@ def run(cfg: RunConfig) -> dict:
         cfg.lr, cfg.total_steps, cfg.warmup_steps,
         grad_clip=cfg.grad_clip, grad_accum_steps=cfg.grad_accum_steps,
     )
-    writer = MetricWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
+    writer = MetricWriter(
+        os.path.join(cfg.out_dir, "metrics.jsonl"),
+        wandb_project=cfg.wandb_project,
+        wandb_config=dataclasses.asdict(cfg),
+    )
 
     steps = cfg.total_steps // cfg.batch_size  # reference counts examples
     meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
@@ -347,6 +353,13 @@ def run(cfg: RunConfig) -> dict:
             state = loop.run(state, steps, writer)
 
     save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
+    if cfg.export_hf:
+        from pacednegatives_tpu.models.hf_export import save_pretrained
+
+        save_pretrained(
+            jax.device_get(state.params), mcfg,
+            os.path.join(cfg.out_dir, "model"),
+        )
     writer.close()
     last = [h for h in writer.history if "loss" in h]
     return {

@@ -65,17 +65,21 @@ def make_train_step(
 
     def step(state: TrainState, batch: Batch) -> tuple[TrainState, dict]:
         key, new_key = jax.random.split(state.key)
-        kp, kn = jax.random.split(key)
 
         def loss_fn(params):
-            pce, p_first = _ce_and_first_logits(
-                params, model_cfg, batch["pos_ids"], batch["pos_mask"],
-                batch["pos_labels"], kp if dropout else None,
+            # ONE forward over [positives; negatives] — prompts share their
+            # shape, so concatenation turns two half-utilized encoder passes
+            # (B and B*n rows) into a single (B*(1+n), L) pass that tiles the
+            # MXU better and halves kernel-launch overhead.
+            B = batch["pos_ids"].shape[0]
+            ids = jnp.concatenate([batch["pos_ids"], batch["neg_ids"]])
+            mask = jnp.concatenate([batch["pos_mask"], batch["neg_mask"]])
+            labels = jnp.concatenate([batch["pos_labels"], batch["neg_labels"]])
+            ce_all, first = _ce_and_first_logits(
+                params, model_cfg, ids, mask, labels, key if dropout else None
             )
-            nce, n_first = _ce_and_first_logits(
-                params, model_cfg, batch["neg_ids"], batch["neg_mask"],
-                batch["neg_labels"], kn if dropout else None,
-            )
+            pce, nce = ce_all[:B], ce_all[B:]
+            p_first, n_first = first[:B], first[B:]
             if loss == "pair":
                 main = jnp.mean(pce) + jnp.mean(nce)
                 ce = (pce + nce) / 2.0

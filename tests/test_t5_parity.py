@@ -101,6 +101,36 @@ def test_shift_right_matches_hf(ours):
     )
 
 
+def test_gated_ffn_parity():
+    """T5 v1.1 gated-GELU FFN path vs torch (separate tiny model)."""
+    hf_cfg = transformers.T5Config(
+        vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+        num_decoder_layers=1, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", decoder_start_token_id=0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.T5ForConditionalGeneration(hf_cfg)
+    model.eval()
+    cfg = config_from_hf(model.config)
+    assert cfg.gated_ffn and not cfg.tie_word_embeddings
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, 256, size=(2, 7)).astype(np.int32)
+    labels = rng.integers(2, 256, size=(2, 2)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            labels=torch.tensor(labels.astype(np.int64)),
+        ).logits.numpy()
+    got = np.asarray(
+        t5.forward_logits(params, cfg, jnp.asarray(ids), jnp.asarray(labels))
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
 def test_jit_and_grad_run(ours):
     params, cfg = ours
     rng = np.random.default_rng(3)

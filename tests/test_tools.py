@@ -118,6 +118,52 @@ def test_profiling_utils():
             jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
 
 
+def test_milestone_decay_schedule():
+    from pacednegatives_tpu.curriculum.eta import linear_warmup_decay, milestone_decay
+
+    base = linear_warmup_decay(1.0, 1, 1000)
+    sched = milestone_decay(base, {250: 0.1, 500: 0.1})
+    assert abs(float(sched(100)) - float(base(100))) < 1e-9
+    np.testing.assert_allclose(float(sched(300)), float(base(300)) * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(600)), float(base(600)) * 0.01, rtol=1e-6)
+
+
+def test_dataset_tools_cli(tmp_path):
+    import json
+
+    from pacednegatives_tpu.cli.dataset_tools import main
+
+    triples = str(tmp_path / "t.jsonl")
+    with open(triples, "w") as f:
+        for q in range(4):
+            f.write(json.dumps({
+                "query_id": f"q{q}", "doc_id_a": f"p{q}",
+                "doc_id_b": [f"n{q}_{i}" for i in range(8)],
+            }) + "\n")
+
+    out1 = str(tmp_path / "sub.jsonl")
+    main(["--op", "subset", "--triples", triples, "--num_docs", "3", "--out", out1])
+    recs = [json.loads(l) for l in open(out1)]
+    assert all(len(r["doc_id_b"]) == 3 for r in recs)
+
+    out2 = str(tmp_path / "bal.jsonl")
+    main(["--op", "balanced", "--triples", triples, "--num_docs", "3", "--out", out2])
+    recs = [json.loads(l) for l in open(out2)]
+    assert recs[0]["doc_id_b"] == ["n0_0", "n0_3", "n0_7"]
+
+    out3 = str(tmp_path / "s.jsonl")
+    main(["--op", "sample", "--triples", triples, "--n", "2", "--out", out3])
+    assert sum(1 for _ in open(out3)) == 2
+
+    pairs = str(tmp_path / "pairs.tsv")
+    with open(pairs, "w") as f:
+        f.write("q0\tP0\nq9\tP9\n")
+    out4 = str(tmp_path / "c.jsonl")
+    main(["--op", "collate", "--pairs", pairs, "--pools", triples, "--out", out4])
+    recs = [json.loads(l) for l in open(out4)]
+    assert len(recs) == 1 and recs[0]["doc_id_a"] == "P0"
+
+
 def test_runner_contrast_and_online(tmp_path):
     from pacednegatives_tpu.train.runner import RunConfig, run
 
