@@ -94,6 +94,24 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     ckptr.wait_until_finished()
 
 
+def latest_checkpoint(out_dir: str) -> str | None:
+    """Newest step_N checkpoint under ``out_dir`` (else 'final' if present).
+
+    Enables crash-restart ("elastic recovery" in SURVEY §5 terms): rerunning
+    the same config with resume_from="auto" continues from the last save.
+    """
+    if not os.path.isdir(out_dir):
+        return None
+    steps = []
+    for name in os.listdir(out_dir):
+        if name.startswith("step_") and name[5:].isdigit():
+            steps.append((int(name[5:]), name))
+    if steps:
+        return os.path.join(out_dir, max(steps)[1])
+    final = os.path.join(out_dir, "final")
+    return final if os.path.exists(final) else None
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the structure of ``template`` (an initialized state)."""
     import orbax.checkpoint as ocp

@@ -229,6 +229,19 @@ def load_run(run_dir: str, checkpoint: str = "final"):
     return params, mcfg, tok, cfg
 
 
+def _maybe_resume(cfg: RunConfig, state):
+    """resume_from: explicit checkpoint path, or "auto" to continue from the
+    newest checkpoint in out_dir (crash restart)."""
+    from pacednegatives_tpu.train.loop import latest_checkpoint, restore_checkpoint
+
+    path = cfg.resume_from
+    if path == "auto":
+        path = latest_checkpoint(cfg.out_dir)
+    if path:
+        return restore_checkpoint(path, state)
+    return state
+
+
 def run(cfg: RunConfig) -> dict:
     """Execute a full training run; returns summary dict."""
     from pacednegatives_tpu.curriculum import MetaWeightTable
@@ -282,8 +295,7 @@ def run(cfg: RunConfig) -> dict:
             )
         )
         state = init_train_state(params, tx, table.init(), seed=cfg.seed)
-        if cfg.resume_from:
-            state = restore_checkpoint(cfg.resume_from, state)
+        state = _maybe_resume(cfg, state)
         import time as _time
 
         t0 = _time.time()
@@ -307,8 +319,7 @@ def run(cfg: RunConfig) -> dict:
             dropout=cfg.dropout,
         )
         state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
-        if cfg.resume_from:
-            state = restore_checkpoint(cfg.resume_from, state)
+        state = _maybe_resume(cfg, state)
         if cfg.mining == "online":
             from pacednegatives_tpu.train.online import (
                 OnlineMiningConfig,
