@@ -46,16 +46,23 @@ def _topk(method: str, queries, docs, k, **kw):
 class DenseIndex:
     """embeddings: (N, D) fp32/bf16 device array; when ``mesh`` is given the
     array is sharded (N over data axis) and queries are scored shard-local
-    with an ICI merge."""
+    with an ICI merge. With ``quantize=True`` the index stores int8 values +
+    per-row scales (4x less HBM; dequantization fused into the Pallas score
+    kernel, or applied on the fly for the XLA paths)."""
 
     embeddings: jax.Array
     method: str = "exact"  # "pallas" | "exact" | "approx"
     mesh: Mesh | None = None
     method_kwargs: dict = dataclasses.field(default_factory=dict)
+    scales: jax.Array | None = None  # set when quantized (embeddings int8)
 
     @property
     def num_docs(self) -> int:
         return self.embeddings.shape[0]
+
+    @property
+    def quantized(self) -> bool:
+        return self.scales is not None
 
     @classmethod
     def build(
@@ -63,23 +70,42 @@ class DenseIndex:
         embeddings: jax.Array,
         method: str = "exact",
         mesh: Mesh | None = None,
+        quantize: bool = False,
         **method_kwargs,
     ) -> "DenseIndex":
+        scales = None
+        if quantize:
+            from pacednegatives_tpu.ops.mips import quantize_embeddings
+
+            embeddings, scales = quantize_embeddings(embeddings)
         if mesh is not None:
             embeddings = jax.device_put(
                 embeddings, NamedSharding(mesh, P(DATA_AXIS, None))
             )
-        return cls(embeddings, method, mesh, method_kwargs)
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(mesh, P(DATA_AXIS)))
+        return cls(embeddings, method, mesh, method_kwargs, scales)
+
+    def _docs_fp(self) -> jax.Array:
+        if not self.quantized:
+            return self.embeddings
+        return self.embeddings.astype(jnp.float32) * self.scales[:, None]
 
     # -- queries --------------------------------------------------------------
 
     def topk(self, queries: jax.Array, k: int):
         """(B, D) queries -> (scores (B,k), doc indices (B,k)), desc order."""
-        if self.mesh is None:
-            return _topk(
-                self.method, queries, self.embeddings, k, **self.method_kwargs
+        if self.mesh is not None:
+            return self._topk_sharded(queries, k)
+        if self.quantized and self.method == "pallas":
+            from pacednegatives_tpu.ops.mips import mips_topk_pallas_quantized
+
+            return mips_topk_pallas_quantized(
+                queries, self.embeddings, self.scales, k, **self.method_kwargs
             )
-        return self._topk_sharded(queries, k)
+        return _topk(
+            self.method, queries, self._docs_fp(), k, **self.method_kwargs
+        )
 
     def _topk_sharded(self, queries: jax.Array, k: int):
         method, kw = self.method, self.method_kwargs
@@ -107,7 +133,7 @@ class DenseIndex:
             # outputs are replicated by the all_gather+merge; the static VMA
             # checker can't always prove it
             check_vma=False,
-        )(queries, self.embeddings)
+        )(queries, self._docs_fp())
 
     def mine_pools(self, queries: jax.Array, pool_size: int):
         """(B, D) queries -> (B, pool_size) doc indices ordered EASIEST

@@ -132,6 +132,105 @@ def mips_topk_pallas(
     return v, i
 
 
+def quantize_embeddings(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: (N, D) fp -> (values int8,
+    scales fp32 (N,)). Quarters the index's HBM footprint (the north-star
+    "equal index memory" lever: 4x more corpus per chip)."""
+    absmax = jnp.max(jnp.abs(emb.astype(jnp.float32)), axis=1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(emb.astype(jnp.float32) / scale[:, None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _quant_block_kernel(q_ref, d_ref, s_ref, out_v_ref, out_i_ref, *, k_per_block):
+    """Quantized variant: int8 doc block + per-row scales, dequant fused
+    into the score matmul (docs cast int8->bf16 in VMEM, never in HBM)."""
+    block_i = pl.program_id(0)
+    block_n = d_ref.shape[0]
+
+    d = d_ref[:].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16),
+        d,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * s_ref[:].astype(jnp.float32)[None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    base = block_i * block_n
+    B = scores.shape[0]
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (B, k_per_block), 1)
+    init_v = jnp.full((B, k_per_block), NEG_INF, jnp.float32)
+    init_i = jnp.zeros((B, k_per_block), jnp.int32)
+
+    def round_fn(j, carry):
+        scores, out_v, out_i = carry
+        m = jnp.max(scores, axis=1, keepdims=True)
+        is_max = scores == m
+        amax = jnp.min(jnp.where(is_max, col, block_n), axis=1, keepdims=True)
+        out_v = jnp.where(col_k == j, m, out_v)
+        out_i = jnp.where(col_k == j, amax + base, out_i)
+        scores = jnp.where(col == amax, NEG_INF, scores)
+        return scores, out_v, out_i
+
+    _, out_v, out_i = jax.lax.fori_loop(
+        0, k_per_block, round_fn, (scores, init_v, init_i)
+    )
+    out_v_ref[0] = out_v
+    out_i_ref[0] = out_i
+
+
+def mips_topk_pallas_quantized(
+    queries: jax.Array,  # (B, D) fp
+    d_values: jax.Array,  # (N, D) int8
+    d_scales: jax.Array,  # (N,) fp32
+    k: int,
+    block_n: int = 1024,
+    k_per_block: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over an int8-quantized index, dequantization fused in VMEM."""
+    B, D = queries.shape
+    N = d_values.shape[0]
+    if N % block_n:
+        raise ValueError(f"N={N} not a multiple of block_n={block_n}")
+    if k_per_block is None:
+        k_per_block = min(k, block_n)
+    k_per_block = min(k_per_block, block_n)
+    num_blocks = N // block_n
+
+    kernel = functools.partial(_quant_block_kernel, k_per_block=k_per_block)
+    cand_v, cand_i = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, k_per_block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, k_per_block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks, B, k_per_block), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, B, k_per_block), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D + N * 4 + B * D * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries.astype(jnp.float32), d_values, d_scales)
+
+    cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, num_blocks * k_per_block)
+    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, num_blocks * k_per_block)
+    v, merged_pos = jax.lax.top_k(cand_v, k)
+    i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
+    return v, i
+
+
 def mips_topk_exact(queries, docs, k):
     """XLA reference path: full einsum + exact top_k."""
     scores = jnp.einsum(

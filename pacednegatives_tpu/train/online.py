@@ -47,6 +47,7 @@ class OnlineMiningConfig:
     encode_batch: int = 128
     method: str = "exact"  # "exact" | "approx"
     exclude_positive: bool = True
+    quantize: bool = False  # int8 index in the scan carry (4x less HBM)
 
 
 def make_online_fused_step(
@@ -77,11 +78,16 @@ def make_online_fused_step(
         params = jax.lax.stop_gradient(state.params)
         q_emb = embed(
             params, model_cfg, corpus.q_tokens[q_rows], corpus.q_mask[q_rows]
-        ).astype(embeddings.dtype)
+        )
 
         # 2. mine pools: top-k hardest, reversed to easiest-first
         k = mining.pool_size + (1 if mining.exclude_positive else 0)
-        _, idx = topk(q_emb, embeddings, k)
+        if mining.quantize:
+            vals, scales = embeddings
+            docs_fp = vals.astype(jnp.float32) * scales[:, None]
+        else:
+            docs_fp = embeddings
+        _, idx = topk(q_emb.astype(jnp.float32), docs_fp, k)
         if mining.exclude_positive:
             # drop the positive if retrieved; else drop the extra last slot
             is_pos = idx == pos_rows[:, None]
@@ -125,10 +131,15 @@ def make_refresh_fn(
 
     @jax.jit
     def refresh(params):
-        return encode_corpus(
+        emb = encode_corpus(
             params, model_cfg, corpus.d_tokens, corpus.d_mask,
             batch_size=mining.encode_batch,
         )
+        if mining.quantize:
+            from pacednegatives_tpu.ops.mips import quantize_embeddings
+
+            return quantize_embeddings(emb)
+        return emb
 
     return refresh
 

@@ -74,6 +74,7 @@ class RunConfig:
     pool_size: int = 64
     refresh_every: int = 200
     encode_batch: int = 128
+    quantize_index: bool = False  # int8 online-mining index
     grad_accum_steps: int = 1
     # loop
     out_dir: str = "runs/out"
@@ -332,6 +333,7 @@ def run(cfg: RunConfig) -> dict:
                 pool_size=cfg.pool_size,
                 refresh_every=cfg.refresh_every,
                 encode_batch=cfg.encode_batch,
+                quantize=cfg.quantize_index,
             )
             fused = make_online_fused_step(
                 dc, step, controller, mcfg, mining, n_neg_per_example=n

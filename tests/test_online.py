@@ -79,6 +79,36 @@ def test_online_step_runs_and_trains(setup):
     assert all(np.isfinite(l) for l in losses)
 
 
+def test_online_quantized_index(setup):
+    tok, dc, cfg, params = setup
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    ctrl = InterpController(start=0.2, end=0.8, num_steps=20, batch_size=4)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(
+        cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+        rel_id=tok.true_id, nrel_id=tok.false_id,
+    )
+    mining = OnlineMiningConfig(
+        pool_size=8, refresh_every=4, encode_batch=16, quantize=True
+    )
+    fused = make_online_fused_step(dc, step, ctrl, cfg, mining, 2)
+    refresh = make_refresh_fn(dc, cfg, mining)
+    vals, scales = refresh(params)
+    assert vals.dtype.name == "int8" and scales.shape == (64,)
+
+    state = init_train_state(params, tx, ctrl.init())
+    loop = OnlineMiningLoop(
+        fused_step=fused, refresh_fn=refresh, num_pairs=dc.num_pairs,
+        batch_size=4, chunk_size=2, refresh_every=4,
+    )
+    from pacednegatives_tpu.train import MetricWriter
+
+    w = MetricWriter(None)
+    state = loop.run(state, 8, w)
+    assert int(state.step) == 8
+    assert all(np.isfinite(h["loss"]) for h in w.history if "loss" in h)
+
+
 def test_mined_pools_exclude_positive_and_order(setup):
     """Drive the mining internals directly: hardest (pool[-1]) must be the
     max-inner-product doc (excluding the positive)."""
