@@ -88,18 +88,26 @@ class TrainedTokenizer:
     artifact: ``TrainedTokenizer.train(texts, vocab_size).save(path)``.
     """
 
-    SPECIALS = ["<pad>", "</s>", "<unk>"]
+    # <true>/<false> are dedicated verbalizer tokens: guaranteed single-token
+    # labels for first-position scoring (a subword tokenizer would split the
+    # words "true"/"false"), and they can never occur in document text so
+    # prompts are unaffected. The monoT5 scoring head only needs two distinct
+    # label ids — the English words matter only for *pretrained* T5 vocab,
+    # which uses the HF adapter below instead.
+    SPECIALS = ["<pad>", "</s>", "<unk>", "<true>", "<false>"]
 
     def __init__(self, tok, vocab_size: int):
         self._tok = tok
         self.vocab_size = vocab_size
         self.pad_id = tok.token_to_id("<pad>")
         self.eos_id = tok.token_to_id("</s>")
-        true_ids = tok.encode("true").ids
-        false_ids = tok.encode("false").ids
-        # Verbalizers must be single tokens for first-position scoring.
-        self.true_id = true_ids[0]
-        self.false_id = false_ids[0]
+        self.true_id = tok.token_to_id("<true>")
+        self.false_id = tok.token_to_id("<false>")
+        if self.true_id is None or self.false_id is None:
+            # tokenizer trained before verbalizer specials existed:
+            # fall back to first-subword ids
+            self.true_id = tok.encode("true").ids[0]
+            self.false_id = tok.encode("false").ids[0]
 
     @classmethod
     def train(
@@ -115,13 +123,8 @@ class TrainedTokenizer:
             vocab_size=vocab_size,
             special_tokens=list(cls.SPECIALS),
             unk_token="<unk>",
-            # make sure verbalizers exist as whole tokens
-            initial_alphabet=[],
         )
-        # Seed the verbalizers so they survive as single tokens.
-        tok.train_from_iterator(
-            list(texts) + ["true false"] * 64, trainer=trainer
-        )
+        tok.train_from_iterator(texts, trainer=trainer)
         return cls(tok, tok.get_vocab_size())
 
     def encode(self, text: str, add_eos: bool = False) -> list[int]:

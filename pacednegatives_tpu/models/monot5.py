@@ -57,9 +57,8 @@ def score_batch(
     """
     if attention_mask is None:
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
-    enc = encode_cached = t5.encode(params, cfg, input_ids, attention_mask)
+    enc = t5.encode(params, cfg, input_ids, attention_mask)
     B = input_ids.shape[0]
     dec_in = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
-    logits = t5.decode(params, cfg, dec_in, encode_cached, attention_mask)
-    del enc
+    logits = t5.decode(params, cfg, dec_in, enc, attention_mask)
     return relevance_log_probs(logits[:, 0, :], rel_id, nrel_id)

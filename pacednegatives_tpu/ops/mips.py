@@ -32,27 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.inf
 
 
-def _mips_block_kernel(q_ref, d_ref, out_v_ref, out_i_ref, *, k_per_block: int):
-    """One (doc-block) grid step: scores = q @ block.T, then k' rounds of
-    max + mask to extract the block's top-k' per query."""
-    block_i = pl.program_id(0)
-    block_n = d_ref.shape[0]
+def _block_topk_rounds(scores: jax.Array, base: jax.Array, k_per_block: int):
+    """k' rounds of max + first-argmax masking over (B, block_n) scores.
 
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        d_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, block_n)
-
+    Mosaic has no sort/top_k primitive and no dynamic lane-indexed stores,
+    so round j inserts into loop-carried (B, k') registers via a masked
+    select on the lane iota. Returns (values (B, k'), global indices)."""
+    B, block_n = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    base = block_i * block_n
-
-    # k' rounds of max + first-argmax masking. Mosaic has no dynamic
-    # lane-indexed stores, so round j inserts into loop-carried (B, k')
-    # registers via a masked select on the lane iota, and the block is
-    # written once at the end.
-    B = scores.shape[0]
     col_k = jax.lax.broadcasted_iota(jnp.int32, (B, k_per_block), 1)
     init_v = jnp.full((B, k_per_block), NEG_INF, jnp.float32)
     init_i = jnp.zeros((B, k_per_block), jnp.int32)
@@ -71,8 +58,29 @@ def _mips_block_kernel(q_ref, d_ref, out_v_ref, out_i_ref, *, k_per_block: int):
     _, out_v, out_i = jax.lax.fori_loop(
         0, k_per_block, round_fn, (scores, init_v, init_i)
     )
-    out_v_ref[0] = out_v
-    out_i_ref[0] = out_i
+    return out_v, out_i
+
+
+def _merge_candidates(cand_v, cand_i, k):
+    """(num_blocks, B, k') per-block candidates -> global (B, k) top-k."""
+    num_blocks, B, kpb = cand_v.shape
+    cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, num_blocks * kpb)
+    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, num_blocks * kpb)
+    v, merged_pos = jax.lax.top_k(cand_v, k)
+    return v, jnp.take_along_axis(cand_i, merged_pos, axis=1)
+
+
+def _mips_block_kernel(q_ref, d_ref, out_v_ref, out_i_ref, *, k_per_block: int):
+    """One (doc-block) grid step: scores = q @ block.T, then per-block
+    top-k' extraction."""
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        d_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, block_n)
+    base = pl.program_id(0) * d_ref.shape[0]
+    out_v_ref[0], out_i_ref[0] = _block_topk_rounds(scores, base, k_per_block)
 
 
 def mips_topk_pallas(
@@ -125,11 +133,7 @@ def mips_topk_pallas(
         interpret=interpret,
     )(queries.astype(docs.dtype), docs)
 
-    cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, num_blocks * k_per_block)
-    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, num_blocks * k_per_block)
-    v, merged_pos = jax.lax.top_k(cand_v, k)
-    i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
-    return v, i
+    return _merge_candidates(cand_v, cand_i, k)
 
 
 def quantize_embeddings(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -145,39 +149,14 @@ def quantize_embeddings(emb: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _quant_block_kernel(q_ref, d_ref, s_ref, out_v_ref, out_i_ref, *, k_per_block):
     """Quantized variant: int8 doc block + per-row scales, dequant fused
     into the score matmul (docs cast int8->bf16 in VMEM, never in HBM)."""
-    block_i = pl.program_id(0)
-    block_n = d_ref.shape[0]
-
-    d = d_ref[:].astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
         q_ref[:].astype(jnp.bfloat16),
-        d,
+        d_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * s_ref[:].astype(jnp.float32)[None, :]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    base = block_i * block_n
-    B = scores.shape[0]
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (B, k_per_block), 1)
-    init_v = jnp.full((B, k_per_block), NEG_INF, jnp.float32)
-    init_i = jnp.zeros((B, k_per_block), jnp.int32)
-
-    def round_fn(j, carry):
-        scores, out_v, out_i = carry
-        m = jnp.max(scores, axis=1, keepdims=True)
-        is_max = scores == m
-        amax = jnp.min(jnp.where(is_max, col, block_n), axis=1, keepdims=True)
-        out_v = jnp.where(col_k == j, m, out_v)
-        out_i = jnp.where(col_k == j, amax + base, out_i)
-        scores = jnp.where(col == amax, NEG_INF, scores)
-        return scores, out_v, out_i
-
-    _, out_v, out_i = jax.lax.fori_loop(
-        0, k_per_block, round_fn, (scores, init_v, init_i)
-    )
-    out_v_ref[0] = out_v
-    out_i_ref[0] = out_i
+    base = pl.program_id(0) * d_ref.shape[0]
+    out_v_ref[0], out_i_ref[0] = _block_topk_rounds(scores, base, k_per_block)
 
 
 def mips_topk_pallas_quantized(
@@ -224,11 +203,7 @@ def mips_topk_pallas_quantized(
         interpret=interpret,
     )(queries.astype(jnp.float32), d_values, d_scales)
 
-    cand_v = jnp.moveaxis(cand_v, 0, 1).reshape(B, num_blocks * k_per_block)
-    cand_i = jnp.moveaxis(cand_i, 0, 1).reshape(B, num_blocks * k_per_block)
-    v, merged_pos = jax.lax.top_k(cand_v, k)
-    i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
-    return v, i
+    return _merge_candidates(cand_v, cand_i, k)
 
 
 def mips_topk_exact(queries, docs, k):

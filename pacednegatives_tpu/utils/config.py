@@ -49,19 +49,15 @@ def parse_cli(argv: list[str] | None = None) -> dict[str, str]:
 
 def apply_overrides(config, overrides: dict[str, str]):
     """Return a dataclass copy with string overrides coerced per-field."""
-    fields = {f.name: f for f in dataclasses.fields(config)}
+    import typing
+
+    hints = typing.get_type_hints(type(config))
+    fields = {f.name for f in dataclasses.fields(config)}
     updates = {}
     for k, v in overrides.items():
         if k not in fields:
             raise SystemExit(
                 f"unknown option --{k}; valid: {', '.join(sorted(fields))}"
             )
-        updates[k] = _coerce(v, fields[k].type_resolved if hasattr(fields[k], "type_resolved") else _resolve(config, k))
+        updates[k] = _coerce(v, hints.get(k, str))
     return dataclasses.replace(config, **updates)
-
-
-def _resolve(config, name: str):
-    import typing
-
-    hints = typing.get_type_hints(type(config))
-    return hints.get(name, str)

@@ -53,6 +53,9 @@ def test_trained_tokenizer_roundtrip(tmp_path, corpus):
     ids = t.encode(corpus.doc_texts[0])
     assert len(ids) > 0 and max(ids) < t.vocab_size
     assert t.true_id != t.false_id
+    # verbalizers are dedicated single special tokens
+    assert t._tok.id_to_token(t.true_id) == "<true>"
+    assert t._tok.id_to_token(t.false_id) == "<false>"
     p = str(tmp_path / "tok.json")
     t.save(p)
     t2 = TrainedTokenizer.load(p)
