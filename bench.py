@@ -164,6 +164,21 @@ def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps
     rng = np.random.default_rng(0)
     n_neg_pool = triples.n_neg
 
+    # The reference's collate tokenizes prompt STRINGS per batch inside
+    # DataLoader workers (lceT5.py:40-53; the eta wrapper even tokenizes the
+    # same batch twice per step, old/eta_bound.py:62,96). The baseline
+    # reproduces one tokenization pass per step; disable via
+    # BENCH_BASELINE_TOKENIZE=0 for a stricter (pre-tokenized) baseline.
+    tokenize_per_step = os.environ.get("BENCH_BASELINE_TOKENIZE", "1") == "1"
+    corpus_texts = None
+    if tokenize_per_step:
+        from pacednegatives_tpu.data.corpus import TextCorpus
+        from pacednegatives_tpu.data.tokenizer import pad_batch
+
+        corpus_texts = TextCorpus.synthetic(
+            num_docs=2048, num_queries=256, seed=0, doc_len=150, query_len=12
+        )
+
     def host_batch(difficulty):
         # scipy binomial PMF + np.random.choice per example + numpy assembly
         pair_idx = rng.integers(0, len(triples), size=batch_size)
@@ -175,8 +190,30 @@ def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps
             for i in pair_idx
         ])
         q = triples.query_rows[pair_idx]
-        pos_ids, pos_mask = store.assemble_host(q, triples.pos_rows[pair_idx])
-        neg_ids, neg_mask = store.assemble_host(np.repeat(q, n), neg_rows.reshape(-1))
+        if tokenize_per_step:
+            fmt = lambda qr, dr: (
+                f"Query: {corpus_texts.query_texts[qr]} Document: "
+                f"{corpus_texts.doc_texts[dr]} Relevant:"
+            )
+            pos_prompts = [fmt(qr, dr) for qr, dr in zip(q, triples.pos_rows[pair_idx])]
+            neg_prompts = [
+                fmt(qr, dr)
+                for qr, dr in zip(np.repeat(q, n), neg_rows.reshape(-1))
+            ]
+            from pacednegatives_tpu.data.tokenizer import pad_batch
+
+            L = store.prompt_len
+            pos_ids, pos_mask = pad_batch(
+                [tok.encode(p, add_eos=True) for p in pos_prompts], L, tok.pad_id
+            )
+            neg_ids, neg_mask = pad_batch(
+                [tok.encode(p, add_eos=True) for p in neg_prompts], L, tok.pad_id
+            )
+        else:
+            pos_ids, pos_mask = store.assemble_host(q, triples.pos_rows[pair_idx])
+            neg_ids, neg_mask = store.assemble_host(
+                np.repeat(q, n), neg_rows.reshape(-1)
+            )
         return {
             "pos_ids": pos_ids, "pos_mask": pos_mask,
             "pos_labels": store.labels(batch_size, True),

@@ -14,7 +14,6 @@ import dataclasses
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from pacednegatives_tpu.curriculum.base import StepSignals
 from pacednegatives_tpu.curriculum.eta import EtaController, EtaState

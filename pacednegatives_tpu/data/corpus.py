@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import json
-from typing import Iterable, Iterator
 
 import numpy as np
 

@@ -19,7 +19,6 @@ needs (reference old/eta_bound.py:45-46).
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 from typing import Iterable, Protocol, Sequence
 

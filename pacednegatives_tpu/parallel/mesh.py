@@ -17,7 +17,7 @@ needed: negatives are packed into the batch dimension.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Sequence
+from typing import Any, Sequence
 
 import jax
 import numpy as np

@@ -162,6 +162,11 @@ class TrainLoop:
     log_every_chunks: int = 1
     checkpoint_dir: str | None = None
     checkpoint_every_steps: int = 0
+    # Optional held-out evaluation: eval_fn(state) -> {metric: float},
+    # called every eval_every_steps; results land in the metric stream with
+    # an "eval/" prefix (online regression signal, SURVEY §4/§5).
+    eval_fn: Callable | None = None
+    eval_every_steps: int = 0
 
     def __post_init__(self):
         def chunk_fn(state, idx_chunk):
@@ -214,6 +219,17 @@ class TrainLoop:
                 save_checkpoint(
                     os.path.join(self.checkpoint_dir, f"step_{done}"), state
                 )
+
+            if (
+                self.eval_fn is not None
+                and self.eval_every_steps
+                and done % self.eval_every_steps == 0
+            ):
+                ev = self.eval_fn(state)
+                writer.write(
+                    {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}
+                )
+                writer.flush()
 
         writer.write({"step": done, "time": time.time() - t0})
         writer.flush()

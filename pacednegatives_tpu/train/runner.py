@@ -86,6 +86,10 @@ class RunConfig:
     shuffle: bool = False
     wandb_project: Optional[str] = None
     export_hf: bool = False  # also write a transformers-loadable dir
+    # held-out eval during training: MRR of the positive vs the hardest pool
+    # negatives, logged as eval/mrr_hard every eval_every_steps
+    eval_every_steps: int = 0
+    eval_pairs: int = 64
 
 
 def _build_tokenizer(cfg: RunConfig):
@@ -230,6 +234,44 @@ def load_run(run_dir: str, checkpoint: str = "final"):
     return params, mcfg, tok, cfg
 
 
+def _make_eval_fn(cfg: RunConfig, store, triples, mcfg, tok):
+    """Held-out probe: rank each eval pair's positive against its 9 hardest
+    pool negatives with the current model; report mean reciprocal rank."""
+    from pacednegatives_tpu.models import t5
+    from pacednegatives_tpu.models.monot5 import relevance_log_probs
+
+    rng = np.random.default_rng(12345)
+    sel = rng.choice(
+        len(triples), size=min(cfg.eval_pairs, len(triples)), replace=False
+    )
+    n_cand = min(10, triples.n_neg + 1)
+    cand = np.stack(
+        [
+            np.concatenate(
+                [[triples.pos_rows[i]], triples.pools[i][-(n_cand - 1):]]
+            )
+            for i in sel
+        ]
+    )  # (P, n_cand), positive in column 0
+    q_rows = np.repeat(triples.query_rows[sel], n_cand)
+    ids, mask = store.assemble_host(q_rows, cand.reshape(-1))
+    ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+
+    @jax.jit
+    def scores(params):
+        enc = t5.encode(params, mcfg, ids_j, mask_j)
+        dec_in = jnp.full((ids_j.shape[0], 1), mcfg.decoder_start_token_id, jnp.int32)
+        logits = t5.decode(params, mcfg, dec_in, enc, mask_j)
+        return relevance_log_probs(logits[:, 0, :], tok.true_id, tok.false_id)
+
+    def eval_fn(state):
+        s = np.asarray(scores(state.params)).reshape(-1, n_cand)
+        ranks = (s > s[:, :1]).sum(axis=1) + 1
+        return {"mrr_hard": float(np.mean(1.0 / ranks))}
+
+    return eval_fn
+
+
 def _maybe_resume(cfg: RunConfig, state):
     """resume_from: explicit checkpoint path, or "auto" to continue from the
     newest checkpoint in out_dir (crash restart)."""
@@ -256,11 +298,7 @@ def run(cfg: RunConfig) -> dict:
         make_optimizer,
         make_train_step,
     )
-    from pacednegatives_tpu.train.loop import (
-        pair_index_stream,
-        restore_checkpoint,
-        save_checkpoint,
-    )
+    from pacednegatives_tpu.train.loop import save_checkpoint
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
@@ -362,6 +400,12 @@ def run(cfg: RunConfig) -> dict:
                 log_every_chunks=cfg.log_every_chunks,
                 checkpoint_dir=cfg.out_dir,
                 checkpoint_every_steps=cfg.checkpoint_every_steps,
+                eval_fn=(
+                    _make_eval_fn(cfg, store, triples, mcfg, tok)
+                    if cfg.eval_every_steps
+                    else None
+                ),
+                eval_every_steps=cfg.eval_every_steps,
             )
             state = loop.run(state, steps, writer)
 

@@ -57,6 +57,19 @@ def test_runner_all_curricula(tmp_path, curriculum):
         assert np.isfinite(summary["final_loss"])
 
 
+def test_eval_during_training(tmp_path):
+    cfg = RunConfig(
+        curriculum="interp", out_dir=str(tmp_path / "e"),
+        eval_every_steps=3, eval_pairs=8, **TINY,
+    )
+    run(cfg)
+    with open(os.path.join(cfg.out_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    ev = [l for l in lines if "eval/mrr_hard" in l]
+    assert len(ev) >= 2
+    assert all(0.0 < l["eval/mrr_hard"] <= 1.0 for l in ev)
+
+
 def test_load_run_restores_params(tmp_path):
     cfg = RunConfig(curriculum="interp", out_dir=str(tmp_path / "r"), **TINY)
     run(cfg)
