@@ -114,3 +114,33 @@ def score_teachers(
         main[str(len(teachers) + 1)] = {q: dict(d) for q, d in gt.items()}
 
     return TeacherScores(main)
+
+
+def score_teachers_retrieval(
+    corpus: TextCorpus,
+    query_ids: Sequence[str],
+    teachers: Sequence[tuple[int, int]] = DEFAULT_TEACHERS,
+    index: LexicalIndex | None = None,
+    k: int = 100,
+) -> TeacherScores:
+    """Retrieval-variant teacher scoring (reference get_all_scores.py:20-97):
+    instead of scoring fixed triple pairs, each teacher RETRIEVES its own
+    top-k per query (with its query-expansion pipeline) and the retrieved
+    scores are min-max normalized per query."""
+    ix = index or LexicalIndex.build(corpus.doc_texts)
+    if not ix.native:
+        raise RuntimeError("teacher scoring needs the native lexical library")
+
+    main: dict[str, dict[str, dict[str, float]]] = {}
+    for ti, (model, qe) in enumerate(teachers):
+        rows: dict[str, dict[str, float]] = defaultdict(dict)
+        for qid in query_ids:
+            ids, scores = ix.search(
+                corpus.query_text(qid), k=k, model=model,
+                k1=0.45, b=0.55, qe=qe,
+            )
+            for d, s in zip(ids, scores):
+                rows[qid][corpus.doc_ids[int(d)]] = float(s)
+        _minmax_per_query(rows)
+        main[str(ti)] = {q: dict(d) for q, d in rows.items()}
+    return TeacherScores(main)

@@ -82,6 +82,14 @@ _METRICS = {
 def _parse(metric: str):
     if metric in _METRICS:
         return _METRICS[metric]
+    # graded-relevance variants: map_rel2 / P_rel2_10 (notebooks use
+    # AP(rel=2) and P(rel=2)@k on TREC DL — scoring.ipynb cell 11)
+    if metric.startswith("map_rel"):
+        min_rel = int(metric[7:])
+        return lambda r, q, m=min_rel: average_precision(r, q, min_rel=m)
+    if metric.startswith("P_rel"):
+        rel_s, k_s = metric[5:].split("_")
+        return lambda r, q, m=int(rel_s), k=int(k_s): precision_at_k(r, q, k, m)
     for prefix, fn in (
         ("ndcg_cut_", ndcg_at_k),
         ("ndcg_cut.", ndcg_at_k),

@@ -68,6 +68,20 @@ def test_teacher_scores_normalized_and_gt_channel(corpus, triples):
     assert gt[t0["qid"]][t0["doc_id_b"]] == 0.0
 
 
+def test_retrieval_variant_teacher_scoring(corpus, miner):
+    from pacednegatives_tpu.distill.teacher import score_teachers_retrieval
+
+    ts = score_teachers_retrieval(
+        corpus, corpus.query_ids[:3], index=miner.index, k=10
+    )
+    assert ts.num_teachers == 5
+    for table in ts.scores.values():
+        assert set(table) <= set(corpus.query_ids[:3])
+        for docs in table.values():
+            assert 0 < len(docs) <= 10
+            assert all(0.0 <= v <= 1.0 + 1e-9 for v in docs.values())
+
+
 def test_teacher_lookup_defaults(corpus, triples):
     ts = score_teachers(corpus, triples)
     v = ts.lookup("unknown_q", "unknown_d", neg=False)

@@ -46,6 +46,21 @@ def test_ndcg_golden():
     assert abs(got - dcg / idcg) < 1e-9
 
 
+def test_graded_relevance_metrics():
+    from pacednegatives_tpu.eval.metrics import _parse
+
+    qrels = {"d1": 1, "d3": 2}
+    # map_rel2: only d3 counts as relevant
+    fn = _parse("map_rel2")
+    assert fn(["d3", "d1"], qrels) == 1.0
+    assert fn(["d1", "d3"], qrels) == 0.5
+    # P_rel2_2
+    fn = _parse("P_rel2_2")
+    assert fn(["d3", "d1"], qrels) == 0.5
+    fn = _parse("P_1")  # plain precision still parses
+    assert fn(["d1"], qrels) == 1.0
+
+
 def test_recall_and_run_eval():
     assert recall_at_k(["d1", "dx"], QRELS["q1"], 2) == 0.5
     run = {"q1": ["d3", "d1"], "q2": ["dx", "d2"], "q_no_qrels": ["d1"]}
