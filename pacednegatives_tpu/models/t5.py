@@ -55,6 +55,11 @@ class T5Config:
     # remat policy: "full" recomputes everything; "dots" saves MXU outputs
     # and recomputes only cheap VPU ops (jax.checkpoint_policies.dots_saveable)
     remat_policy: str = "full"
+    # scan_layers: lax.scan over the (homogeneous) blocks instead of a
+    # Python loop — the block body compiles ONCE, cutting t5-base compile
+    # time by an order of magnitude. Param layout is unchanged (blocks are
+    # stacked inside the trace; XLA elides the copies where layouts allow).
+    scan_layers: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -292,6 +297,18 @@ def mlp(p: PyTree, cfg: T5Config, x: jax.Array) -> jax.Array:
     return jnp.einsum("blf,fd->bld", h, p["wo"].astype(dt))
 
 
+def _stack_blocks(blocks: list) -> PyTree:
+    """Stack per-layer block pytrees into one (L, ...) pytree for lax.scan.
+
+    block_0's relative-attention bias is excluded — position bias is computed
+    once outside the layer loop and closed over by the scan body."""
+    cleaned = []
+    for b in blocks:
+        sa = {k: v for k, v in b["self_attn"].items() if k != "rel_bias"}
+        cleaned.append({**b, "self_attn": sa})
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cleaned)
+
+
 def _padding_bias(mask: jax.Array) -> jax.Array:
     """(B, L) {0,1} mask -> (B, 1, 1, L) fp32 additive bias."""
     return jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
@@ -340,22 +357,42 @@ def encode(
         else [None] * (2 * cfg.num_layers + 2)
     )
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
-    for i in range(cfg.num_layers):
 
-        def block(x, blk, bias, _i=i):
-            h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
-            a = attention(
-                blk["self_attn"], cfg, h, h, bias,
-                dropout_key=keys[2 * _i], deterministic=deterministic,
-            )
-            x = x + _dropout(a, cfg.dropout_rate, keys[2 * _i], deterministic)
-            h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
-            m = mlp(blk["mlp"], cfg, h)
-            return x + _dropout(m, cfg.dropout_rate, keys[2 * _i + 1], deterministic)
+    def block(x, blk, bias, k0, k1):
+        h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
+        a = attention(
+            blk["self_attn"], cfg, h, h, bias,
+            dropout_key=k0, deterministic=deterministic,
+        )
+        x = x + _dropout(a, cfg.dropout_rate, k0, deterministic)
+        h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
+        m = mlp(blk["mlp"], cfg, h)
+        return x + _dropout(m, cfg.dropout_rate, k1, deterministic)
+
+    if cfg.scan_layers:
+        stacked = _stack_blocks([enc[f"block_{i}"] for i in range(cfg.num_layers)])
+        use_keys = dropout_key is not None and not deterministic
+        layer_keys = (
+            jnp.stack([jnp.stack([keys[2 * i], keys[2 * i + 1]]) for i in range(cfg.num_layers)])
+            if use_keys
+            else jnp.zeros((cfg.num_layers, 1), jnp.int32)  # placeholder carry
+        )
+
+        def body(x, scanned):
+            blk, lk = scanned
+            k0 = lk[0] if use_keys else None
+            k1 = lk[1] if use_keys else None
+            return block(x, blk, bias, k0, k1), None
 
         if cfg.remat:
-            block = jax.checkpoint(block, policy=_remat_policy(cfg))
-        x = block(x, enc[f"block_{i}"], bias)
+            body = jax.checkpoint(body, policy=_remat_policy(cfg))
+        x, _ = jax.lax.scan(body, x, (stacked, layer_keys))
+    else:
+        for i in range(cfg.num_layers):
+            blk_fn = block
+            if cfg.remat:
+                blk_fn = jax.checkpoint(block, policy=_remat_policy(cfg))
+            x = blk_fn(x, enc[f"block_{i}"], bias, keys[2 * i], keys[2 * i + 1])
 
     x = rms_norm(x, enc["final_ln"]["scale"], cfg.layer_norm_epsilon, dt)
     return _dropout(x, cfg.dropout_rate, keys[-2], deterministic)
@@ -394,28 +431,55 @@ def decode(
         else [None] * nk
     )
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
-    for i in range(cfg.num_decoder_layers):
 
-        def block(x, blk, self_bias, cross_bias, enc_h, _i=i):
-            h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
-            a = attention(
-                blk["self_attn"], cfg, h, h, self_bias,
-                dropout_key=keys[3 * _i], deterministic=deterministic,
-            )
-            x = x + _dropout(a, cfg.dropout_rate, keys[3 * _i], deterministic)
-            h = rms_norm(x, blk["ln_cross"]["scale"], cfg.layer_norm_epsilon, dt)
-            a = attention(
-                blk["cross_attn"], cfg, h, enc_h, cross_bias,
-                dropout_key=keys[3 * _i + 1], deterministic=deterministic,
-            )
-            x = x + _dropout(a, cfg.dropout_rate, keys[3 * _i + 1], deterministic)
-            h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
-            m = mlp(blk["mlp"], cfg, h)
-            return x + _dropout(m, cfg.dropout_rate, keys[3 * _i + 2], deterministic)
+    def block(x, blk, self_bias, cross_bias, enc_h, k0, k1, k2):
+        h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
+        a = attention(
+            blk["self_attn"], cfg, h, h, self_bias,
+            dropout_key=k0, deterministic=deterministic,
+        )
+        x = x + _dropout(a, cfg.dropout_rate, k0, deterministic)
+        h = rms_norm(x, blk["ln_cross"]["scale"], cfg.layer_norm_epsilon, dt)
+        a = attention(
+            blk["cross_attn"], cfg, h, enc_h, cross_bias,
+            dropout_key=k1, deterministic=deterministic,
+        )
+        x = x + _dropout(a, cfg.dropout_rate, k1, deterministic)
+        h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
+        m = mlp(blk["mlp"], cfg, h)
+        return x + _dropout(m, cfg.dropout_rate, k2, deterministic)
+
+    if cfg.scan_layers:
+        stacked = _stack_blocks(
+            [dec[f"block_{i}"] for i in range(cfg.num_decoder_layers)]
+        )
+        use_keys = dropout_key is not None and not deterministic
+        layer_keys = (
+            jnp.stack([
+                jnp.stack([keys[3 * i], keys[3 * i + 1], keys[3 * i + 2]])
+                for i in range(cfg.num_decoder_layers)
+            ])
+            if use_keys
+            else jnp.zeros((cfg.num_decoder_layers, 1), jnp.int32)
+        )
+
+        def body(x, scanned):
+            blk, lk = scanned
+            ks = (lk[0], lk[1], lk[2]) if use_keys else (None, None, None)
+            return block(x, blk, self_bias, cross_bias, encoder_hidden, *ks), None
 
         if cfg.remat:
-            block = jax.checkpoint(block, policy=_remat_policy(cfg))
-        x = block(x, dec[f"block_{i}"], self_bias, cross_bias, encoder_hidden)
+            body = jax.checkpoint(body, policy=_remat_policy(cfg))
+        x, _ = jax.lax.scan(body, x, (stacked, layer_keys))
+    else:
+        for i in range(cfg.num_decoder_layers):
+            blk_fn = block
+            if cfg.remat:
+                blk_fn = jax.checkpoint(block, policy=_remat_policy(cfg))
+            x = blk_fn(
+                x, dec[f"block_{i}"], self_bias, cross_bias, encoder_hidden,
+                keys[3 * i], keys[3 * i + 1], keys[3 * i + 2],
+            )
 
     x = rms_norm(x, dec["final_ln"]["scale"], cfg.layer_norm_epsilon, dt)
     x = _dropout(x, cfg.dropout_rate, keys[-2], deterministic)

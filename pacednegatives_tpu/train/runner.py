@@ -40,7 +40,10 @@ class RunConfig:
     model: str = "small"
     bf16: bool = True
     remat: bool = True
-    remat_policy: str = "dots"
+    remat_policy: str = "dots_nobatch"
+    # lax.scan over layers: ~2x faster compile, ~9% slower steps (measured
+    # t5-base on v5e) — use for iteration, not long runs
+    scan_layers: bool = False
     dropout: bool = False
     # curriculum: interp | level | eta | lce | meta-cheap | meta-std
     curriculum: str = "lce"
@@ -114,6 +117,7 @@ def _build_model(cfg: RunConfig, tok):
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
+        scan_layers=cfg.scan_layers,
     )
     if cfg.model in ("tiny", "small", "base"):
         mk = {
