@@ -56,9 +56,14 @@ def build(model_name: str):
         cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy
     )
 
+    # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation
+    # budget (old/lce_wrapper.py:70-71); default ~188 matches typical MS
+    # MARCO passage prompt lengths.
+    doc_tokens = int(os.environ.get("BENCH_DOC_TOKENS", "160"))
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
-    corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0, doc_len=150, query_len=12)
-    store = TokenizedStore.build(corpus, tok, max_q_tokens=24, max_d_tokens=160)
+    corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0,
+                                  doc_len=max(150, doc_tokens - 10), query_len=12)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=24, max_d_tokens=doc_tokens)
     triples = TripletStore.synthetic(corpus, n_pairs=1024, n_neg=100, seed=1)
     dc = DeviceCorpus.build(store, triples)
     params = init_params(jax.random.key(0), cfg)
@@ -175,8 +180,10 @@ def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps
         from pacednegatives_tpu.data.corpus import TextCorpus
         from pacednegatives_tpu.data.tokenizer import pad_batch
 
+        doc_tokens = store.d_tokens.shape[1]
         corpus_texts = TextCorpus.synthetic(
-            num_docs=2048, num_queries=256, seed=0, doc_len=150, query_len=12
+            num_docs=2048, num_queries=256, seed=0,
+            doc_len=max(150, doc_tokens - 10), query_len=12,
         )
 
     def host_batch(difficulty):

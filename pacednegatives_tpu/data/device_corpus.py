@@ -50,10 +50,14 @@ class DeviceCorpus:
     true_id: int
     false_id: int
     eos_id: int
+    # ceil instead of floor for difficulty -> pool index (reference
+    # TripletDataset max flag, dataloader.py:22)
+    use_max: bool = False
 
     @classmethod
     def build(
-        cls, store: TokenizedStore, triples: TripletStore, device=None
+        cls, store: TokenizedStore, triples: TripletStore, device=None,
+        use_max: bool = False,
     ) -> "DeviceCorpus":
         put = partial(jax.device_put, device=device)
         t = store.template
@@ -72,6 +76,7 @@ class DeviceCorpus:
             true_id=store.true_id,
             false_id=store.false_id,
             eos_id=store.eos_id,
+            use_max=use_max,
         )
 
     # -- jittable assembly ---------------------------------------------------
@@ -126,7 +131,7 @@ class DeviceCorpus:
         """
         q = self.query_rows[pair_idx]
         pos_d = self.pos_rows[pair_idx]
-        neg_slot = difficulty_to_index(difficulty, self.n_neg)
+        neg_slot = difficulty_to_index(difficulty, self.n_neg, self.use_max)
         neg_d = self.pools[pair_idx, neg_slot]
 
         pos_ids, pos_mask = self.assemble(q, pos_d)

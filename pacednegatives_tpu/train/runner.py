@@ -162,7 +162,9 @@ def _build_data(cfg: RunConfig, tok):
             load_triples(cfg.triples), corpus,
             n_neg=cfg.n_neg_pool, order=cfg.pool_order,
         )
-    return corpus, store, triples, DeviceCorpus.build(store, triples)
+    return corpus, store, triples, DeviceCorpus.build(
+        store, triples, use_max=cfg.use_max
+    )
 
 
 def _build_controller(cfg: RunConfig, triples):
