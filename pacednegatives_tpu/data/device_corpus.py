@@ -57,15 +57,21 @@ class DeviceCorpus:
     @classmethod
     def build(
         cls, store: TokenizedStore, triples: TripletStore, device=None,
-        use_max: bool = False,
+        use_max: bool = False, compact_tokens: bool = True,
     ) -> "DeviceCorpus":
         put = partial(jax.device_put, device=device)
         t = store.template
+        # int16 token storage halves corpus HBM when the vocab fits
+        # (t5's 32128 does); gathers cast back to int32 in registers.
+        tok_dtype = np.int32
+        if compact_tokens and max(store.q_tokens.max(initial=0),
+                                  store.d_tokens.max(initial=0)) < 2**15:
+            tok_dtype = np.int16
         return cls(
-            q_tokens=put(store.q_tokens),
-            q_mask=put(store.q_mask),
-            d_tokens=put(store.d_tokens),
-            d_mask=put(store.d_mask),
+            q_tokens=put(store.q_tokens.astype(tok_dtype)),
+            q_mask=put(store.q_mask.astype(np.int8)),
+            d_tokens=put(store.d_tokens.astype(tok_dtype)),
+            d_mask=put(store.d_mask.astype(np.int8)),
             query_rows=put(triples.query_rows),
             pos_rows=put(triples.pos_rows),
             pools=put(triples.pools),
@@ -97,9 +103,9 @@ class DeviceCorpus:
         ids = jnp.concatenate(
             [
                 tile(self.prefix),
-                self.q_tokens[q_rows],
+                self.q_tokens[q_rows].astype(jnp.int32),
                 tile(self.mid),
-                self.d_tokens[d_rows],
+                self.d_tokens[d_rows].astype(jnp.int32),
                 tile(self.suffix),
             ],
             axis=1,
@@ -107,9 +113,9 @@ class DeviceCorpus:
         mask = jnp.concatenate(
             [
                 ones(self.prefix),
-                self.q_mask[q_rows],
+                self.q_mask[q_rows].astype(jnp.int32),
                 ones(self.mid),
-                self.d_mask[d_rows],
+                self.d_mask[d_rows].astype(jnp.int32),
                 ones(self.suffix),
             ],
             axis=1,

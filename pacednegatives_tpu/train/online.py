@@ -155,6 +155,8 @@ class OnlineMiningLoop:
     chunk_size: int = 16
     refresh_every: int = 200
     seed: int = 0
+    eval_fn: Callable | None = None  # state -> {metric: float}
+    eval_every_steps: int = 0
 
     def __post_init__(self):
         def chunk_fn(carry, idx_chunk):
@@ -183,6 +185,15 @@ class OnlineMiningLoop:
             writer.write(
                 {"step": done, **{m: np.asarray(v)[-1] for m, v in host.items()}}
             )
+            if (
+                self.eval_fn is not None
+                and self.eval_every_steps
+                and done % self.eval_every_steps == 0
+            ):
+                ev = self.eval_fn(carry[0])
+                writer.write(
+                    {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}
+                )
             if since_refresh >= self.refresh_every and done < total_steps:
                 state, _old = carry
                 # async dispatch: enqueued behind the last chunk, the host

@@ -390,6 +390,12 @@ def run(cfg: RunConfig) -> dict:
                 chunk_size=cfg.chunk_size,
                 refresh_every=cfg.refresh_every,
                 seed=cfg.seed,
+                eval_fn=(
+                    _make_eval_fn(cfg, store, triples, mcfg, tok)
+                    if cfg.eval_every_steps
+                    else None
+                ),
+                eval_every_steps=cfg.eval_every_steps,
             )
             state = loop.run(state, steps, writer)
         else:
