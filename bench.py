@@ -52,8 +52,11 @@ def build(model_name: str):
     }[model_name]()
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     policy = os.environ.get("BENCH_REMAT_POLICY", "dots_nobatch")
+    attn = os.environ.get("BENCH_ATTN", "dense")
     cfg = dataclasses.replace(
-        cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy
+        cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy,
+        attention_impl=attn,
+        attention_chunk=int(os.environ.get("BENCH_ATTN_CHUNK", "128")),
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation

@@ -55,6 +55,12 @@ class T5Config:
     # remat policy: "full" recomputes everything; "dots" saves MXU outputs
     # and recomputes only cheap VPU ops (jax.checkpoint_policies.dots_saveable)
     remat_policy: str = "full"
+    # attention_impl: "dense" materializes (B, H, Lq, Lk) scores; "chunked"
+    # is exact online-softmax over key chunks of attention_chunk — transient
+    # memory O(B*H*Lq*chunk), for long-sequence configs the dense form
+    # cannot fit (see docs/design.md)
+    attention_impl: str = "dense"
+    attention_chunk: int = 128
     # scan_layers: lax.scan over the (homogeneous) blocks instead of a
     # Python loop — the block body compiles ONCE, cutting t5-base compile
     # time by an order of magnitude. Param layout is unchanged (blocks are
@@ -248,12 +254,25 @@ def _dropout(x, rate, key, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def _combine_bias(bias):
+    """bias is either a combined fp32 array or a lazy (shared, per_batch)
+    tuple of additive components (either may be None)."""
+    if isinstance(bias, tuple):
+        a, b = bias
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+    return bias
+
+
 def attention(
     p: PyTree,
     cfg: T5Config,
     x: jax.Array,
     kv: jax.Array,
-    bias: jax.Array,
+    bias,
     *,
     dropout_key=None,
     deterministic: bool = True,
@@ -261,7 +280,17 @@ def attention(
     """Multi-head attention, T5-style (no 1/sqrt(d_k) scaling).
 
     x: (B, Lq, D) queries source; kv: (B, Lk, D); bias: fp32 additive
-    (1|B, heads, Lq, Lk) already containing position bias and padding mask.
+    (1|B, heads, Lq, Lk) containing position bias and padding mask — either
+    combined, or as a lazy (shared (1,H,Lq,Lk), per-batch (B,1,1,Lk)) tuple
+    that the chunked implementation combines per key block (never
+    materializing a (B,H,Lq,Lk) tensor).
+
+    cfg.attention_impl == "chunked" uses online-softmax accumulation over
+    key chunks (Rabe & Staats memory-efficient attention): transient memory
+    O(B*H*Lq*chunk) instead of O(B*H*Lq*Lk). Exact; autodiff-compatible.
+    Attention dropout is only supported by the dense path (the reference
+    trains with dropout on weights; chunked is for long-sequence/memory
+    regimes where the reference cannot run at all).
     """
     B, Lq, _ = x.shape
     Lk = kv.shape[1]
@@ -272,16 +301,213 @@ def attention(
     k = jnp.einsum("bld,dk->blk", kv, p["k"].astype(dt)).reshape(B, Lk, H, dk)
     v = jnp.einsum("bld,dk->blk", kv, p["v"].astype(dt)).reshape(B, Lk, H, dk)
 
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
-    scores = scores + bias
-    weights = jax.nn.softmax(scores, axis=-1).astype(dt)
-    if not deterministic:
-        weights = _dropout(weights, cfg.dropout_rate, dropout_key, deterministic)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    if cfg.attention_impl == "chunked" and deterministic:
+        out = _chunked_attention(cfg, q, k, v, bias)
+    else:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores + _combine_bias(bias)
+        weights = jax.nn.softmax(scores, axis=-1).astype(dt)
+        if not deterministic:
+            weights = _dropout(
+                weights, cfg.dropout_rate, dropout_key, deterministic
+            )
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(B, Lq, H * dk)
     return jnp.einsum("bli,id->bld", out, p["o"].astype(dt))
+
+
+def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
+    """Online-softmax attention over key chunks with a flash-style custom
+    VJP. q/k/v: (B, L, H, dk); returns (B, Lq, H, dk) in compute dtype.
+
+    The backward recomputes per-chunk probabilities from the saved softmax
+    statistics (m, l) instead of letting autodiff store every chunk's
+    (B, H, Lq, C) matrix — without the custom VJP, differentiating the scan
+    costs exactly the dense-attention memory it was meant to avoid
+    (measured: 20+GB HLO temp at B=16, n=7, L=512 on t5-base).
+    """
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    C = min(cfg.attention_chunk, Lk)
+    shared, per_batch = bias if isinstance(bias, tuple) else (bias, None)
+
+    pad = (-Lk) % C
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if shared is not None:
+            shared = jnp.pad(
+                shared, ((0, 0),) * 3 + ((0, pad),), constant_values=NEG_INF
+            )
+        if per_batch is not None:
+            per_batch = jnp.pad(
+                per_batch, ((0, 0),) * 3 + ((0, pad),), constant_values=NEG_INF
+            )
+        elif shared is None:
+            # no masks at all: mask the padded keys explicitly
+            per_batch = jnp.where(
+                jnp.arange(Lk + pad) < Lk, 0.0, NEG_INF
+            ).astype(jnp.float32)[None, None, None, :]
+    if shared is None:
+        shared = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    if per_batch is None:
+        per_batch = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    out = _flash_core(C, q, k, v, shared, per_batch)
+    return out.astype(cfg.dtype)
+
+
+def _unbroadcast(x: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """Sum-reduce x back to a broadcastable input shape."""
+    axes = tuple(i for i, (a, b) in enumerate(zip(x.shape, shape)) if b == 1 and a != 1)
+    if axes:
+        x = x.sum(axis=axes, keepdims=True)
+    return x
+
+
+def _bias_chunk(src, j, C):
+    """Slice chunk j along the key axis; size-1 (broadcast) axes pass through."""
+    if src.shape[3] == 1:
+        return src
+    return jax.lax.dynamic_slice_in_dim(src, j * C, C, axis=3)
+
+
+def _flash_forward(C, q, k, v, shared, per_batch):
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    n_chunks = Lk // C
+    k_c = k.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+    v_c = v.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, inputs):
+        m, l, acc = carry
+        j, k_j, v_j = inputs
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_j, preferred_element_type=jnp.float32
+        )
+        s = s + _bias_chunk(shared, j, C) + _bias_chunk(per_batch, j, C)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        corr = jnp.exp(m - m_new)
+        p_ = jnp.exp(s - m_new[..., None])
+        l = l * corr + p_.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p_.astype(v_j.dtype), v_j,
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l, acc), None
+
+    init = (
+        jnp.full((B, H, Lq), NEG_INF, jnp.float32),
+        jnp.zeros((B, H, Lq), jnp.float32),
+        jnp.zeros((B, H, Lq, dk), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, init, (jnp.arange(n_chunks), k_c, v_c))
+    l = jnp.maximum(l, 1e-30)
+    out_bhqd = acc / l[..., None]
+    return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(C, q, k, v, shared, per_batch):
+    out, _ = _flash_forward(C, q, k, v, shared, per_batch)
+    return out
+
+
+def _flash_core_fwd(C, q, k, v, shared, per_batch):
+    out, (m, l, out_bhqd) = _flash_forward(C, q, k, v, shared, per_batch)
+    return out, (q, k, v, shared, per_batch, m, l, out_bhqd)
+
+
+def _flash_core_bwd(C, res, g):
+    q, k, v, shared, per_batch, m, l, out_bhqd = res
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    n_chunks = Lk // C
+    k_c = k.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+    v_c = v.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+
+    g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
+    # D_i = sum_d dout_i * out_i  (flash backward identity)
+    D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
+
+    dshared_shape = shared.shape
+    dper_shape = per_batch.shape
+
+    def body(carry, inputs):
+        dq, dshared, dper = carry
+        j, k_j, v_j = inputs
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_j, preferred_element_type=jnp.float32
+        )
+        s = s + _bias_chunk(shared, j, C) + _bias_chunk(per_batch, j, C)
+        p_ = jnp.exp(s - m[..., None]) / l[..., None]  # (B, H, Lq, C)
+        dv_j = jnp.einsum(
+            "bhqk,bhqd->bkhd", p_, g_bhqd, preferred_element_type=jnp.float32
+        )
+        dp = jnp.einsum(
+            "bhqd,bkhd->bhqk", g_bhqd, v_j.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p_ * (dp - D[..., None])  # (B, H, Lq, C)
+        dq = dq + jnp.einsum(
+            "bhqk,bkhd->bqhd", ds, k_j.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        dk_j = jnp.einsum(
+            "bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        # bias grads: reduce ds to each bias's (broadcast) chunk shape, then
+        # scatter-add into the full-length accumulator
+        ds_shared = _unbroadcast(
+            ds, dshared_shape[:3] + (C if dshared_shape[3] != 1 else 1,)
+        )
+        ds_per = _unbroadcast(
+            ds, dper_shape[:3] + (C if dper_shape[3] != 1 else 1,)
+        )
+        if dshared_shape[3] != 1:
+            dshared = jax.lax.dynamic_update_slice_in_dim(
+                dshared,
+                jax.lax.dynamic_slice_in_dim(dshared, j * C, C, 3) + ds_shared,
+                j * C, 3,
+            )
+        else:
+            dshared = dshared + ds_shared
+        if dper_shape[3] != 1:
+            dper = jax.lax.dynamic_update_slice_in_dim(
+                dper,
+                jax.lax.dynamic_slice_in_dim(dper, j * C, C, 3) + ds_per,
+                j * C, 3,
+            )
+        else:
+            dper = dper + ds_per
+        return (dq, dshared, dper), (dk_j, dv_j)
+
+    init = (
+        jnp.zeros((B, Lq, H, dk), jnp.float32),
+        jnp.zeros(dshared_shape, jnp.float32),
+        jnp.zeros(dper_shape, jnp.float32),
+    )
+    (dq, dshared, dper), (dk_c, dv_c) = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), k_c, v_c)
+    )
+    dk = dk_c.transpose(1, 0, 2, 3, 4).reshape(B, Lk, H, dk_c.shape[-1])
+    dv = dv_c.transpose(1, 0, 2, 3, 4).reshape(B, Lk, H, dv_c.shape[-1])
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dshared.astype(shared.dtype),
+        dper.astype(per_batch.dtype),
+    )
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def mlp(p: PyTree, cfg: T5Config, x: jax.Array) -> jax.Array:
@@ -349,7 +575,9 @@ def encode(
         cfg.relative_attention_num_buckets,
         cfg.relative_attention_max_distance,
     )
-    bias = pos_bias + _padding_bias(attention_mask)
+    # lazy (shared, per-batch) pair: the dense path sums them; the chunked
+    # path combines per key block without forming (B, H, L, L)
+    bias = (pos_bias, _padding_bias(attention_mask))
 
     keys = (
         jax.random.split(dropout_key, 2 * cfg.num_layers + 2)
@@ -416,13 +644,16 @@ def decode(
     emb = params["shared"]["embedding"].astype(dt)
     x = emb[decoder_input_ids]
 
-    self_bias = compute_position_bias(
-        dec["block_0"]["self_attn"]["rel_bias"],
-        Lt, Lt, False,
-        cfg.relative_attention_num_buckets,
-        cfg.relative_attention_max_distance,
-    ) + _causal_bias(Lt)
-    cross_bias = _padding_bias(encoder_mask)
+    self_bias = (
+        compute_position_bias(
+            dec["block_0"]["self_attn"]["rel_bias"],
+            Lt, Lt, False,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        ) + _causal_bias(Lt),
+        None,
+    )
+    cross_bias = (None, _padding_bias(encoder_mask))
 
     nk = 3 * cfg.num_decoder_layers + 2
     keys = (

@@ -44,6 +44,9 @@ class RunConfig:
     # lax.scan over layers: ~2x faster compile, ~9% slower steps (measured
     # t5-base on v5e) — use for iteration, not long runs
     scan_layers: bool = False
+    # "chunked" = exact online-softmax attention (long-sequence memory)
+    attention_impl: str = "dense"
+    attention_chunk: int = 128
     dropout: bool = False
     # curriculum: interp | level | eta | lce | meta-cheap | meta-std
     curriculum: str = "lce"
@@ -118,6 +121,8 @@ def _build_model(cfg: RunConfig, tok):
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
         scan_layers=cfg.scan_layers,
+        attention_impl=cfg.attention_impl,
+        attention_chunk=cfg.attention_chunk,
     )
     if cfg.model in ("tiny", "small", "base"):
         mk = {
