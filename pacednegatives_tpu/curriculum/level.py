@@ -68,7 +68,9 @@ class LevelController:
         return LevelState(difficulty, s_sum, s_cnt, step)
 
     def metrics(self, state: LevelState) -> dict[str, jax.Array]:
+        # windowed accumulator (resets at each check) — named distinctly so
+        # it cannot clobber the per-batch success_rate in the step metrics
         rate = state.success_sum / jnp.maximum(state.success_count, 1).astype(
             jnp.float32
         )
-        return {"difficulty": state.difficulty, "success_rate": rate}
+        return {"difficulty": state.difficulty, "success_rate_window": rate}

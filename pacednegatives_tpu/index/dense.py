@@ -144,9 +144,21 @@ class DenseIndex:
 
     def refreshed(self, new_embeddings: jax.Array) -> "DenseIndex":
         """Double-buffer friendly: returns a new index, old one stays valid
-        until dropped."""
+        until dropped. A quantized index is re-quantized (stale per-row
+        scales against new embeddings would corrupt every score)."""
+        scales = None
+        if self.quantized:
+            from pacednegatives_tpu.ops.mips import quantize_embeddings
+
+            new_embeddings, scales = quantize_embeddings(new_embeddings)
         if self.mesh is not None:
             new_embeddings = jax.device_put(
                 new_embeddings, NamedSharding(self.mesh, P(DATA_AXIS, None))
             )
-        return dataclasses.replace(self, embeddings=new_embeddings)
+            if scales is not None:
+                scales = jax.device_put(
+                    scales, NamedSharding(self.mesh, P(DATA_AXIS))
+                )
+        return dataclasses.replace(
+            self, embeddings=new_embeddings, scales=scales
+        )

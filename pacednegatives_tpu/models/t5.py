@@ -587,12 +587,15 @@ def encode(
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
 
     def block(x, blk, bias, k0, k1):
+        # split per-use: attention-weight dropout and the residual dropout
+        # must draw independent masks (the reference's torch layers do)
+        ka, kr = jax.random.split(k0) if k0 is not None else (None, None)
         h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
         a = attention(
             blk["self_attn"], cfg, h, h, bias,
-            dropout_key=k0, deterministic=deterministic,
+            dropout_key=ka, deterministic=deterministic,
         )
-        x = x + _dropout(a, cfg.dropout_rate, k0, deterministic)
+        x = x + _dropout(a, cfg.dropout_rate, kr, deterministic)
         h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k1, deterministic)
@@ -664,18 +667,20 @@ def decode(
     x = _dropout(x, cfg.dropout_rate, keys[-1], deterministic)
 
     def block(x, blk, self_bias, cross_bias, enc_h, k0, k1, k2):
+        ka0, kr0 = jax.random.split(k0) if k0 is not None else (None, None)
+        ka1, kr1 = jax.random.split(k1) if k1 is not None else (None, None)
         h = rms_norm(x, blk["ln_self"]["scale"], cfg.layer_norm_epsilon, dt)
         a = attention(
             blk["self_attn"], cfg, h, h, self_bias,
-            dropout_key=k0, deterministic=deterministic,
+            dropout_key=ka0, deterministic=deterministic,
         )
-        x = x + _dropout(a, cfg.dropout_rate, k0, deterministic)
+        x = x + _dropout(a, cfg.dropout_rate, kr0, deterministic)
         h = rms_norm(x, blk["ln_cross"]["scale"], cfg.layer_norm_epsilon, dt)
         a = attention(
             blk["cross_attn"], cfg, h, enc_h, cross_bias,
-            dropout_key=k1, deterministic=deterministic,
+            dropout_key=ka1, deterministic=deterministic,
         )
-        x = x + _dropout(a, cfg.dropout_rate, k1, deterministic)
+        x = x + _dropout(a, cfg.dropout_rate, kr1, deterministic)
         h = rms_norm(x, blk["ln_mlp"]["scale"], cfg.layer_norm_epsilon, dt)
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k2, deterministic)

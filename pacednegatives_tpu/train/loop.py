@@ -137,6 +137,11 @@ def pair_index_stream(
     num_pairs: int, batch_size: int, seed: int = 0, shuffle: bool = True
 ) -> Iterator[np.ndarray]:
     """Deterministic epoch-permuted (B,) pair-index batches, forever."""
+    if num_pairs < batch_size:
+        raise ValueError(
+            f"num_pairs={num_pairs} < batch_size={batch_size}: no full batch "
+            "can be formed (the stream would spin forever)"
+        )
     rng = np.random.default_rng(seed)
     epoch = 0
     while True:
@@ -192,6 +197,8 @@ class TrainLoop:
         t0 = time.time()
         done = start_step
         chunk_i = 0
+        last_ckpt = done
+        last_eval = done
         while done < total_steps:
             n = min(self.chunk_size, total_steps - done)
             idx = np.stack([next(stream) for _ in range(n)])
@@ -211,11 +218,15 @@ class TrainLoop:
                 )
                 writer.flush()
 
+            # boundary-crossing cadence: chunked stepping means ``done`` only
+            # hits multiples of chunk_size, so modulo tests alias to
+            # lcm(chunk, every) or never fire
             if (
                 self.checkpoint_dir
                 and self.checkpoint_every_steps
-                and done % self.checkpoint_every_steps == 0
+                and done - last_ckpt >= self.checkpoint_every_steps
             ):
+                last_ckpt = done
                 save_checkpoint(
                     os.path.join(self.checkpoint_dir, f"step_{done}"), state
                 )
@@ -223,8 +234,9 @@ class TrainLoop:
             if (
                 self.eval_fn is not None
                 and self.eval_every_steps
-                and done % self.eval_every_steps == 0
+                and done - last_eval >= self.eval_every_steps
             ):
+                last_eval = done
                 ev = self.eval_fn(state)
                 writer.write(
                     {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}

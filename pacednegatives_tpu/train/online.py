@@ -169,10 +169,14 @@ class OnlineMiningLoop:
 
         writer = writer or MetricWriter(None)
         stream = pair_index_stream(self.num_pairs, self.batch_size, self.seed)
+        start_step = int(state.step)
+        for _ in range(start_step):  # exact resume: skip consumed batches
+            next(stream)
 
         embeddings = self.refresh_fn(state.params)
         carry = (state, embeddings)
-        done = 0
+        done = start_step
+        last_eval = done
         since_refresh = 0
         while done < total_steps:
             k = min(self.chunk_size, total_steps - done)
@@ -188,8 +192,9 @@ class OnlineMiningLoop:
             if (
                 self.eval_fn is not None
                 and self.eval_every_steps
-                and done % self.eval_every_steps == 0
+                and done - last_eval >= self.eval_every_steps
             ):
+                last_eval = done
                 ev = self.eval_fn(carry[0])
                 writer.write(
                     {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}

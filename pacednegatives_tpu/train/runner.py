@@ -172,6 +172,18 @@ def _build_data(cfg: RunConfig, tok):
     )
 
 
+def _opt_steps(cfg: RunConfig) -> tuple[int, int]:
+    """The reference counts total_steps/warmup_steps in EXAMPLES and divides
+    by batch size for the optimizer (train_lce.py:55,61, old/eta_bound.py:130);
+    schedules must be built in optimizer steps."""
+    steps = max(cfg.total_steps // cfg.batch_size, 1)
+    if cfg.warmup_steps is not None:
+        warmup = max(cfg.warmup_steps // cfg.batch_size, 1)
+    else:
+        warmup = max(steps // 100, 1)
+    return steps, warmup
+
+
 def _build_controller(cfg: RunConfig, triples):
     from pacednegatives_tpu.curriculum import (
         EtaController,
@@ -180,7 +192,7 @@ def _build_controller(cfg: RunConfig, triples):
     )
 
     meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
-    warmup = cfg.warmup_steps if cfg.warmup_steps is not None else cfg.total_steps // 100
+    opt_steps, warmup = _opt_steps(cfg)
     if cfg.curriculum == "interp":
         return InterpController(
             start=cfg.start_difficulty, end=cfg.max_difficulty,
@@ -189,20 +201,22 @@ def _build_controller(cfg: RunConfig, triples):
         )
     if cfg.curriculum == "level":
         return LevelController(
-            n_neg=triples.n_neg, threshold=cfg.success_threshold,
+            # reference bumps by 1/n_neg with n_neg = len(pool) - 1
+            # (dataloader.py:18, old/levels.py:77)
+            n_neg=max(triples.n_neg - 1, 1), threshold=cfg.success_threshold,
             check_every=cfg.heuristic_step_check,
         )
     if cfg.curriculum == "eta":
         return EtaController(
             eta0=cfg.eta0, meta_lr=meta_lr,
-            warmup_steps=warmup, total_steps=cfg.total_steps,
+            warmup_steps=warmup, total_steps=opt_steps,
             kind="eta", objective="self_paced",
             eta_min=cfg.eta_min, eta_max=cfg.eta_max,
         )
     if cfg.curriculum == "lce":
         return EtaController(
             eta0=cfg.eta0, meta_lr=meta_lr,
-            warmup_steps=warmup, total_steps=cfg.total_steps,
+            warmup_steps=warmup, total_steps=opt_steps,
             kind="lce", objective="weighted_ce", optimizer="adamw",
             clamp=False,
         )
@@ -211,9 +225,9 @@ def _build_controller(cfg: RunConfig, triples):
 
         return ContrastController(
             eta0=cfg.eta0, meta_lr=meta_lr,
-            warmup_steps=warmup, total_steps=cfg.total_steps,
+            warmup_steps=warmup, total_steps=opt_steps,
             eta_min=cfg.eta_min, eta_max=cfg.eta_max,
-            n_neg=triples.n_neg, threshold=cfg.success_threshold,
+            n_neg=max(triples.n_neg - 1, 1), threshold=cfg.success_threshold,
             rate_check=cfg.rate_check,
         )
     raise ValueError(f"unknown curriculum {cfg.curriculum}")
@@ -228,21 +242,25 @@ def load_run(run_dir: str, checkpoint: str = "final"):
         cfg = RunConfig(**json.load(f))
     tok = _build_tokenizer(cfg)
     params, mcfg = _build_model(cfg, tok)
-    tx = make_optimizer(cfg.lr, cfg.total_steps, cfg.warmup_steps, grad_clip=cfg.grad_clip)
+    opt_steps, warmup = _opt_steps(cfg)
+    tx = make_optimizer(
+        cfg.lr, opt_steps, warmup,
+        grad_clip=cfg.grad_clip, grad_accum_steps=cfg.grad_accum_steps,
+    )
+    _, _, triples, _ = _build_data(cfg, tok)
     if cfg.curriculum.startswith("meta"):
         from pacednegatives_tpu.curriculum import MetaWeightTable
 
-        curr = MetaWeightTable(num_batches=1, batch_size=cfg.batch_size).init()
+        curr = MetaWeightTable(
+            num_batches=max(len(triples) // cfg.batch_size, 1),
+            batch_size=cfg.batch_size,
+        ).init()
     else:
-        _, _, triples, _ = _build_data(cfg, tok)
         curr = _build_controller(cfg, triples).init()
     template = init_train_state(params, tx, curr, seed=cfg.seed)
-    try:
-        state = restore_checkpoint(os.path.join(run_dir, checkpoint), template)
-        params = state.params
-    except Exception:
-        pass  # fall back to fresh params (e.g. curriculum shape mismatch)
-    return params, mcfg, tok, cfg
+    # strict: silently scoring untrained params is worse than failing
+    state = restore_checkpoint(os.path.join(run_dir, checkpoint), template)
+    return state.params, mcfg, tok, cfg
 
 
 def _make_eval_fn(cfg: RunConfig, store, triples, mcfg, tok):
@@ -318,8 +336,9 @@ def run(cfg: RunConfig) -> dict:
     tok = _build_tokenizer(cfg)
     corpus, store, triples, dc = _build_data(cfg, tok)
     params, mcfg = _build_model(cfg, tok)
+    opt_steps, warmup_opt = _opt_steps(cfg)
     tx = make_optimizer(
-        cfg.lr, cfg.total_steps, cfg.warmup_steps,
+        cfg.lr, opt_steps, warmup_opt,
         grad_clip=cfg.grad_clip, grad_accum_steps=cfg.grad_accum_steps,
     )
     writer = MetricWriter(
@@ -328,15 +347,13 @@ def run(cfg: RunConfig) -> dict:
         wandb_config=dataclasses.asdict(cfg),
     )
 
-    steps = cfg.total_steps // cfg.batch_size  # reference counts examples
+    steps = opt_steps  # reference counts examples; loop counts optimizer steps
     meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
 
     if cfg.curriculum.startswith("meta"):
         num_batches = max(len(triples) // cfg.batch_size, 1)
         table = MetaWeightTable(num_batches=num_batches, batch_size=cfg.batch_size)
-        sched = linear_warmup_decay(
-            meta_lr, cfg.warmup_steps or cfg.total_steps // 100, cfg.total_steps
-        )
+        sched = linear_warmup_decay(meta_lr, warmup_opt, opt_steps)
         step = jax.jit(
             make_meta_train_step(
                 mcfg, table, tx, sched,
@@ -351,9 +368,12 @@ def run(cfg: RunConfig) -> dict:
         t0 = _time.time()
         for i in range(int(state.step), steps):
             j = i % num_batches
+            # per-example difficulty = current weight row (reference
+            # get_batch(j, self.weights[j]), pairwrapper.py:153,243)
+            weights_j = table.lookup(state.curriculum, jnp.int32(j))
             batch = dc.pair_batch(
                 jnp.arange(j * cfg.batch_size, (j + 1) * cfg.batch_size) % dc.num_pairs,
-                jnp.float32(0.0),
+                weights_j,
             )
             state, metrics = step(state, batch, jnp.int32(j))
             if i % 10 == 0:

@@ -1,0 +1,139 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pacednegatives_tpu.train.runner import RunConfig, _build_controller, _opt_steps, run
+
+
+TINY = dict(
+    model="tiny", bf16=False, remat=False, vocab_size=512,
+    synthetic_docs=32, synthetic_queries=8, synthetic_pairs=32,
+    synthetic_pool=8, max_q_tokens=6, max_d_tokens=16,
+    batch_size=4, chunk_size=2,
+)
+
+
+def test_schedules_built_in_optimizer_steps():
+    """Finding 1: warmup/total were passed in example units; the LR must
+    peak at warmup//batch_size optimizer steps and decay to 0 at the end."""
+    cfg = RunConfig(total_steps=100_000, warmup_steps=10_000, batch_size=16)
+    steps, warmup = _opt_steps(cfg)
+    assert steps == 6250 and warmup == 625
+
+    from pacednegatives_tpu.curriculum.eta import linear_warmup_decay
+
+    sched = linear_warmup_decay(1.0, warmup, steps)
+    assert abs(float(sched(warmup)) - 1.0) < 1e-6  # peaks at warmup
+    assert float(sched(steps)) < 1e-6  # decays to ~0 by the last step
+
+
+def test_level_bump_uses_pool_len_minus_one():
+    """Finding 8: reference n_neg = len(pool) - 1."""
+    from pacednegatives_tpu.data import TextCorpus, TripletStore
+
+    corpus = TextCorpus.synthetic(num_docs=32, num_queries=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=8, n_neg=10)
+    ctrl = _build_controller(
+        RunConfig(curriculum="level", batch_size=4), triples
+    )
+    assert ctrl.n_neg == 9  # pool of 10 -> bump 1/9
+
+
+def test_meta_run_uses_weights_as_difficulty_and_load_run_is_strict(tmp_path):
+    """Findings 2+3: meta runs select negatives by per-example weight, and
+    load_run restores the trained table (shape (num_batches, B)) strictly."""
+    cfg = RunConfig(
+        curriculum="meta-cheap", total_steps=16, warmup_steps=4,
+        out_dir=str(tmp_path / "m"), **TINY,
+    )
+    summary = run(cfg)
+    assert summary["steps"] == 4
+
+    from pacednegatives_tpu.train.runner import load_run
+
+    params, mcfg, tok, rc = load_run(cfg.out_dir)  # must not raise
+    assert rc.curriculum == "meta-cheap"
+
+    # a missing checkpoint must raise, not silently return fresh params
+    with pytest.raises(Exception):
+        load_run(cfg.out_dir, checkpoint="nonexistent")
+
+
+def test_checkpoint_cadence_not_aliased_by_chunks(tmp_path):
+    """Finding 4: every_steps not divisible by chunk_size must still fire."""
+    cfg = RunConfig(
+        curriculum="interp", total_steps=48, warmup_steps=4,
+        checkpoint_every_steps=5,  # chunk=2: old modulo logic fires at 10s
+        out_dir=str(tmp_path / "c"), **TINY,
+    )
+    run(cfg)  # 12 steps, chunks of 2 -> ckpts at >= every 5th step boundary
+    ckpts = [d for d in os.listdir(cfg.out_dir) if d.startswith("step_")]
+    assert len(ckpts) >= 2  # 12/5 -> at least steps 6 and 12
+
+
+def test_refreshed_quantized_index_requantizes():
+    """Finding 7: refresh must not keep stale int8 scales."""
+    from pacednegatives_tpu.index import DenseIndex
+
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    d2 = jnp.asarray(10.0 * rng.normal(size=(64, 16)).astype(np.float32))
+    idx = DenseIndex.build(d1, method="exact", quantize=True)
+    idx2 = idx.refreshed(d2)
+    assert idx2.quantized and idx2.embeddings.dtype == jnp.int8
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    _, got = idx2.topk(q, 5)
+    want = np.argsort(-(np.asarray(q) @ np.asarray(d2).T), axis=1)[:, :5]
+    # int8 quantization: top-5 should agree on the vast majority
+    agree = np.mean([
+        len(set(got[b].tolist()) & set(want[b].tolist())) / 5 for b in range(4)
+    ])
+    assert agree > 0.8
+
+
+def test_stream_raises_on_undersized_corpus():
+    """Finding 6: hang -> clear error."""
+    from pacednegatives_tpu.train.loop import pair_index_stream
+
+    with pytest.raises(ValueError, match="num_pairs"):
+        next(pair_index_stream(num_pairs=4, batch_size=8))
+
+
+def test_success_rate_metric_not_clobbered(tmp_path):
+    """Finding 10: level runs must log the per-batch success rate, plus the
+    windowed accumulator under its own key."""
+    cfg = RunConfig(
+        curriculum="level", total_steps=16, warmup_steps=4,
+        heuristic_step_check=2, out_dir=str(tmp_path / "l"), **TINY,
+    )
+    run(cfg)
+    with open(os.path.join(cfg.out_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    keyed = [r for r in recs if "success_rate" in r]
+    assert keyed and all("success_rate_window" in r for r in keyed)
+
+
+def test_dropout_masks_independent():
+    """Finding 9: attention vs residual dropout must differ (same key reuse
+    made them correlated)."""
+    from pacednegatives_tpu.models import T5Config, forward_logits, init_params
+
+    cfg = T5Config.tiny(vocab_size=128)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, dropout_rate=0.5)
+    params = init_params(jax.random.key(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, 128, (2, 8)), jnp.int32)
+    labels = jnp.asarray(np.random.default_rng(1).integers(2, 128, (2, 2)), jnp.int32)
+    a = forward_logits(params, cfg, ids, labels, deterministic=False,
+                       dropout_key=jax.random.key(7))
+    b = forward_logits(params, cfg, ids, labels, deterministic=False,
+                       dropout_key=jax.random.key(8))
+    assert float(jnp.abs(a - b).max()) > 0  # different keys -> different nets

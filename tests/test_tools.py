@@ -76,7 +76,7 @@ def test_contrast_controller_decouples_eta_and_difficulty():
     assert float(state.eta.eta) != 0.5
     assert abs(float(state.eta.eta) - float(ctrl.difficulty(state))) > 1e-3
     m = ctrl.metrics(state)
-    assert "eta" in m and "difficulty" in m and "success_rate" in m
+    assert "eta" in m and "difficulty" in m and "success_rate_window" in m
 
 
 def test_grad_accumulation_changes_update_cadence():
