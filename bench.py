@@ -70,7 +70,7 @@ def build(model_name: str):
     triples = TripletStore.synthetic(corpus, n_pairs=1024, n_neg=100, seed=1)
     dc = DeviceCorpus.build(store, triples)
     params = init_params(jax.random.key(0), cfg)
-    return cfg, tok, store, triples, dc, params
+    return cfg, tok, corpus, store, triples, dc, params
 
 
 def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
@@ -128,7 +128,7 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     return steps / dt, float(np.asarray(m["loss"])[-1])
 
 
-def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps):
+def bench_reference_style(cfg, tok, corpus, store, triples, params, batch_size, n, steps):
     """The reference's per-step structure on the same chip (see module doc)."""
     import scipy.stats
 
@@ -178,16 +178,7 @@ def bench_reference_style(cfg, tok, store, triples, params, batch_size, n, steps
     # reproduces one tokenization pass per step; disable via
     # BENCH_BASELINE_TOKENIZE=0 for a stricter (pre-tokenized) baseline.
     tokenize_per_step = os.environ.get("BENCH_BASELINE_TOKENIZE", "1") == "1"
-    corpus_texts = None
-    if tokenize_per_step:
-        from pacednegatives_tpu.data.corpus import TextCorpus
-        from pacednegatives_tpu.data.tokenizer import pad_batch
-
-        doc_tokens = store.d_tokens.shape[1]
-        corpus_texts = TextCorpus.synthetic(
-            num_docs=2048, num_queries=256, seed=0,
-            doc_len=max(150, doc_tokens - 10), query_len=12,
-        )
+    corpus_texts = corpus  # same instance the fused phase's store was built from
 
     def host_batch(difficulty):
         # scipy binomial PMF + np.random.choice per example + numpy assembly
@@ -259,7 +250,7 @@ def run_phase(phase: str):
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     n = int(os.environ.get("BENCH_NEGS", "7"))
 
-    cfg, tok, store, triples, dc, params = build(model)
+    cfg, tok, corpus, store, triples, dc, params = build(model)
     if phase == "fused":
         sps, last_loss = bench_fused(
             cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1)
@@ -270,7 +261,8 @@ def run_phase(phase: str):
         }))
     else:
         sps = bench_reference_style(
-            cfg, tok, store, triples, params, batch_size, n, max(steps // 4, 3)
+            cfg, tok, corpus, store, triples, params, batch_size, n,
+            max(steps // 4, 3),
         )
         print(json.dumps({"phase": "ref", "steps_per_sec": sps}))
 

@@ -38,6 +38,7 @@ struct Posting {
 struct Index {
   std::unordered_map<std::string, int32_t> dict;
   std::vector<std::vector<Posting>> postings;  // term -> postings
+  std::vector<std::vector<Posting>> fwd;       // doc -> (term, tf) vector
   std::vector<int64_t> cf;                     // collection frequency
   std::vector<int32_t> doc_len;
   int64_t total_len = 0;
@@ -79,6 +80,10 @@ double dph_term(double tf, double dl, double avgdl, double cf, double N) {
   // DPH: parameter-free hypergeometric divergence (Terrier formulation).
   if (tf <= 0 || dl <= 0) return 0.0;
   double f = tf / dl;
+  // tf == dl (a document of one repeated term): norm -> 0 while the log
+  // term -> -inf; the limit of the product is 0, but evaluating it yields
+  // 0 * -inf = NaN, which poisons rankings and breaks partial_sort.
+  if (1.0 - f < 1e-12) return 0.0;
   double norm = (1.0 - f) * (1.0 - f) / (tf + 1.0);
   double val = tf * std::log2(tf * avgdl / dl * (N / cf)) +
                0.5 * std::log2(2.0 * M_PI * tf * (1.0 - f));
@@ -142,19 +147,14 @@ WeightedQuery parse_query(Index& ix, const char* text, bool create_terms) {
 
 // --- pseudo-relevance feedback -------------------------------------------
 
-// Collect term frequencies over the top fb_docs documents.
+// Collect term frequencies over the top fb_docs documents via the
+// doc-major forward index: O(sum of feedback doc lengths), not
+// O(total index postings).
 std::unordered_map<int32_t, double> feedback_tf(const Index& ix,
                                                 const int32_t* docs, int nd) {
-  // postings are term-major; walk every term's postings once and pick
-  // feedback docs (docs set is small -> use a flag array).
   std::unordered_map<int32_t, double> tf;
-  std::unordered_map<int32_t, bool> in_fb;
-  for (int i = 0; i < nd; ++i) in_fb[docs[i]] = true;
-  for (int32_t t = 0; t < (int32_t)ix.postings.size(); ++t) {
-    for (const auto& p : ix.postings[t]) {
-      auto it = in_fb.find(p.doc);
-      if (it != in_fb.end()) tf[t] += p.tf;
-    }
+  for (int i = 0; i < nd; ++i) {
+    for (const auto& p : ix.fwd[docs[i]]) tf[p.doc /*term id*/] += p.tf;
   }
   return tf;
 }
@@ -190,7 +190,10 @@ WeightedQuery expand_query(const Index& ix, const WeightedQuery& orig,
   }
   int n = std::min<int>(fb_terms, scored.size());
   std::partial_sort(scored.begin(), scored.begin() + n, scored.end(),
-                    [](auto& a, auto& b) { return a.second > b.second; });
+                    [](auto& a, auto& b) {
+                      if (a.second != b.second) return a.second > b.second;
+                      return a.first < b.first;  // deterministic tie-break
+                    });
   scored.resize(n);
 
   double maxw = 1e-12;
@@ -241,8 +244,11 @@ void lex_add_doc(void* h, const char* text) {
     }
     tf[id] += 1;
   }
+  ix.fwd.emplace_back();
+  ix.fwd.back().reserve(tf.size());
   for (auto& [id, f] : tf) {
     ix.postings[id].push_back({doc, f});
+    ix.fwd.back().push_back({id, f});
     ix.cf[id] += f;
   }
   ix.doc_len.push_back(int32_t(toks.size()));

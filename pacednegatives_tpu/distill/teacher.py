@@ -55,8 +55,11 @@ class TeacherScores:
         """Per-teacher score vector; missing defaults 1. (pos) / 0. (neg) —
         reference distill/loader.py:44-48."""
         default = 0.0 if neg else 1.0
+        # numeric key order: lexicographic sorting scrambles 10+ channels
+        # ('0','1','10','11','2',...) against the teacher margin pairing
+        key = lambda kv: (0, int(kv[0])) if kv[0].isdigit() else (1, kv[0])
         out = []
-        for _, table in sorted(self.scores.items(), key=lambda kv: kv[0]):
+        for _, table in sorted(self.scores.items(), key=key):
             out.append(table.get(str(qid), {}).get(str(doc_id), default))
         return np.asarray(out, np.float32)
 

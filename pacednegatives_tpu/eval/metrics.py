@@ -6,8 +6,9 @@ in-repo numpy. Definitions follow trec_eval, which is what PyTerrier calls
 underneath:
 
 - recip_rank: 1/rank of the first relevant (rel > 0) document.
-- ndcg_cut_k: DCG with gain 2^rel - 1 and log2(rank+1) discount, normalized
-  by the ideal DCG at the same cutoff.
+- ndcg_cut_k: DCG with LINEAR gain rel / log2(rank+1) (trec_eval's
+  ndcg_cut uses linear gain, not the 2^rel - 1 form some toolkits default
+  to), normalized by the ideal DCG at the same cutoff.
 - map: mean of precision at each relevant retrieved position, divided by
   TOTAL relevant (not just retrieved).
 
@@ -46,9 +47,7 @@ def recall_at_k(ranked, rels, k: int, min_rel: int = 1) -> float:
 
 
 def dcg_at_k(gains: Sequence[int], k: int) -> float:
-    return sum(
-        (2**g - 1) / math.log2(i + 2) for i, g in enumerate(gains[:k])
-    )
+    return sum(g / math.log2(i + 2) for i, g in enumerate(gains[:k]))
 
 
 def ndcg_at_k(ranked, rels, k: int) -> float:

@@ -160,8 +160,10 @@ class LexicalIndex:
         k1: float = 1.2,
         b: float = 0.75,
         qe: int = QE_NONE,
-        fb_docs: int = 10,
-        fb_terms: int = 20,
+        # Terrier's query-expansion defaults (what the reference's
+        # pt.rewrite.Bo1/KL/RM3 pipelines use): 3 feedback docs, 10 terms
+        fb_docs: int = 3,
+        fb_terms: int = 10,
         rm3_lambda: float = 0.6,
     ) -> tuple[np.ndarray, np.ndarray]:
         """-> (doc rows (n,), scores (n,)) best-first, n <= k."""
@@ -187,6 +189,10 @@ class LexicalIndex:
         k1: float = 1.2, b: float = 0.75,
     ) -> float:
         if self._lib is None:
+            if model != MODEL_BM25:
+                raise NotImplementedError(
+                    "DPH scoring needs the native library"
+                )
             ids, sc = self._py.search(query, self.num_docs, k1, b)
             pos = np.nonzero(ids == doc_row)[0]
             return float(sc[pos[0]]) if len(pos) else 0.0

@@ -110,20 +110,50 @@ class DenseIndex:
         method, kw = self.method, self.method_kwargs
         n_shards = self.mesh.shape[DATA_AXIS]
         shard_n = self.num_docs // n_shards
+        # a shard can contribute at most shard_n candidates; the merge still
+        # yields a valid global top-k for any k <= num_docs
+        k_local = min(k, shard_n)
+        quantized = self.quantized
 
-        def local(q, docs):
+        def local(q, docs, scales=None):
             docs = docs[0] if docs.ndim == 3 else docs
-            v, i = _topk(method, q, docs, k, **kw)
+            if quantized:
+                if method == "pallas":
+                    from pacednegatives_tpu.ops.mips import (
+                        mips_topk_pallas_quantized,
+                    )
+
+                    v, i = mips_topk_pallas_quantized(
+                        q, docs, scales, k_local, **kw
+                    )
+                else:
+                    # shard-local dequantization: transient fp32 copy of ONE
+                    # shard, never the whole index
+                    v, i = _topk(
+                        method, q,
+                        docs.astype(jnp.float32) * scales[:, None],
+                        k_local, **kw,
+                    )
+            else:
+                v, i = _topk(method, q, docs, k_local, **kw)
             i = i + jax.lax.axis_index(DATA_AXIS) * shard_n
-            # gather all shards' candidates: (n_shards, B, k)
+            # gather all shards' candidates: (n_shards, B, k_local)
             vs = jax.lax.all_gather(v, DATA_AXIS)
             is_ = jax.lax.all_gather(i, DATA_AXIS)
             B = q.shape[0]
-            vs = jnp.moveaxis(vs, 0, 1).reshape(B, n_shards * k)
-            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, n_shards * k)
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, n_shards * k_local)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, n_shards * k_local)
             mv, pos = jax.lax.top_k(vs, k)
             return mv, jnp.take_along_axis(is_, pos, axis=1)
 
+        if quantized:
+            return jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(queries, self.embeddings, self.scales)
         return jax.shard_map(
             local,
             mesh=self.mesh,
@@ -132,7 +162,7 @@ class DenseIndex:
             # outputs are replicated by the all_gather+merge; the static VMA
             # checker can't always prove it
             check_vma=False,
-        )(queries, self._docs_fp())
+        )(queries, self.embeddings)
 
     def mine_pools(self, queries: jax.Array, pool_size: int):
         """(B, D) queries -> (B, pool_size) doc indices ordered EASIEST

@@ -39,9 +39,9 @@ def test_average_precision_golden():
 def test_ndcg_golden():
     # ranked: rel 2 at rank 1, rel 1 at rank 2 == ideal -> 1.0
     assert abs(ndcg_at_k(["d3", "d1"], QRELS["q1"], 10) - 1.0) < 1e-9
-    # swapped order: dcg = (2^1-1)/log2(2) + (2^2-1)/log2(3)
-    dcg = 1.0 + 3 / np.log2(3)
-    idcg = 3.0 + 1 / np.log2(3)
+    # swapped order, LINEAR gain (trec_eval): dcg = 1/log2(2) + 2/log2(3)
+    dcg = 1.0 + 2 / np.log2(3)
+    idcg = 2.0 + 1 / np.log2(3)
     got = ndcg_at_k(["d1", "d3"], QRELS["q1"], 10)
     assert abs(got - dcg / idcg) < 1e-9
 

@@ -137,3 +137,60 @@ def test_dropout_masks_independent():
     b = forward_logits(params, cfg, ids, labels, deterministic=False,
                        dropout_key=jax.random.key(8))
     assert float(jnp.abs(a - b).max()) > 0  # different keys -> different nets
+
+
+def test_dph_single_term_doc_no_nan():
+    """Review-2 finding 1: DPH NaN when a doc is one repeated term."""
+    from pacednegatives_tpu.index.bm25 import MODEL_DPH, LexicalIndex
+
+    ix = LexicalIndex.build(["hello hello", "hello world foo", "bar baz"])
+    if not ix.native:
+        pytest.skip("native lib unavailable")
+    ids, scores = ix.search("hello", k=3, model=MODEL_DPH)
+    assert np.all(np.isfinite(scores))
+    s = ix.score_pair("hello", 0, model=MODEL_DPH)
+    assert np.isfinite(s)
+
+
+def test_sharded_k_exceeding_shard_size():
+    """Review-2 finding 6: k > num_docs // n_shards must work."""
+    from pacednegatives_tpu.index import DenseIndex
+    from pacednegatives_tpu.parallel import MeshConfig, create_mesh
+
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))  # 8/shard
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    idx = DenseIndex.build(d, method="exact", mesh=mesh)
+    v, i = idx.topk(q, 32)  # > shard_n=8
+    single = DenseIndex.build(d, method="exact")
+    v2, i2 = single.topk(q, 32)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_quantized_sharded_stays_int8():
+    """Review-2 finding 3: sharded quantized top-k must consume the int8
+    values + scales (shard-local dequant), and match the unsharded result."""
+    from pacednegatives_tpu.index import DenseIndex
+    from pacednegatives_tpu.parallel import MeshConfig, create_mesh
+
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.normal(size=(128, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    sharded = DenseIndex.build(d, method="exact", mesh=mesh, quantize=True)
+    assert sharded.embeddings.dtype == jnp.int8
+    _, i = sharded.topk(q, 10)
+    plain = DenseIndex.build(d, method="exact", quantize=True)
+    _, i2 = plain.topk(q, 10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_teacher_channels_numeric_order():
+    """Review-2 finding 7: >=10 channels must order numerically."""
+    from pacednegatives_tpu.distill import TeacherScores
+
+    scores = {str(i): {"q": {"d": float(i)}} for i in list(range(10)) + [11]}
+    ts = TeacherScores(scores)
+    v = ts.lookup("q", "d", neg=False)
+    np.testing.assert_allclose(v, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11])
