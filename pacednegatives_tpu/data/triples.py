@@ -40,11 +40,15 @@ def load_triples(path: str) -> list[dict]:
         else:
             records = [json.loads(line) for line in f if line.strip()]
     out = []
-    for r in records:
-        qid = str(r.get("query_id", r.get("qid")))
+    for i, r in enumerate(records):
+        qid = r.get("query_id", r.get("qid"))
+        if qid is None:
+            raise KeyError(
+                f"record {i} has no 'query_id'/'qid' key (keys: {sorted(r)})"
+            )
         out.append(
             {
-                "query_id": qid,
+                "query_id": str(qid),
                 "doc_id_a": str(r["doc_id_a"]),
                 "doc_id_b": [str(d) for d in r["doc_id_b"]],
             }
@@ -85,6 +89,11 @@ class TripletStore:
         """
         if order not in ("easy_first", "hard_first"):
             raise ValueError(order)
+        for r in records:
+            if not r["doc_id_b"]:
+                raise ValueError(
+                    f"query {r['query_id']!r} has an empty negative pool"
+                )
         if n_neg is None:
             n_neg = min(len(r["doc_id_b"]) for r in records)
 

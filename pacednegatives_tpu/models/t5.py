@@ -301,7 +301,14 @@ def attention(
     k = jnp.einsum("bld,dk->blk", kv, p["k"].astype(dt)).reshape(B, Lk, H, dk)
     v = jnp.einsum("bld,dk->blk", kv, p["v"].astype(dt)).reshape(B, Lk, H, dk)
 
-    if cfg.attention_impl == "chunked" and deterministic:
+    if cfg.attention_impl == "chunked" and not deterministic:
+        raise ValueError(
+            "attention_impl='chunked' does not support attention-weight "
+            "dropout (training with dropout=True); a silent dense fallback "
+            "would materialize the (B, H, Lq, Lk) scores chunking exists to "
+            "avoid. Use dense attention or disable dropout."
+        )
+    if cfg.attention_impl == "chunked":
         out = _chunked_attention(cfg, q, k, v, bias)
     else:
         scores = jnp.einsum(

@@ -134,23 +134,29 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
 
 def pair_index_stream(
-    num_pairs: int, batch_size: int, seed: int = 0, shuffle: bool = True
+    num_pairs: int,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    exclude=None,
 ) -> Iterator[np.ndarray]:
-    """Deterministic epoch-permuted (B,) pair-index batches, forever."""
-    if num_pairs < batch_size:
+    """Deterministic epoch-permuted (B,) pair-index batches, forever.
+
+    ``exclude``: pair rows withheld from training (the held-out eval set)."""
+    pool = np.arange(num_pairs)
+    if exclude is not None and len(exclude) > 0:
+        pool = np.setdiff1d(pool, np.asarray(exclude))
+    if len(pool) < batch_size:
         raise ValueError(
-            f"num_pairs={num_pairs} < batch_size={batch_size}: no full batch "
-            "can be formed (the stream would spin forever)"
+            f"{len(pool)} trainable pairs < batch_size={batch_size}: no full "
+            "batch can be formed (the stream would spin forever)"
         )
     rng = np.random.default_rng(seed)
-    epoch = 0
+    n = len(pool)
     while True:
-        order = (
-            rng.permutation(num_pairs) if shuffle else np.arange(num_pairs)
-        )
-        for i in range(num_pairs // batch_size):
+        order = rng.permutation(pool) if shuffle else pool
+        for i in range(n // batch_size):
             yield order[i * batch_size : (i + 1) * batch_size].astype(np.int32)
-        epoch += 1
 
 
 # -- loop ---------------------------------------------------------------------
@@ -172,6 +178,7 @@ class TrainLoop:
     # an "eval/" prefix (online regression signal, SURVEY §4/§5).
     eval_fn: Callable | None = None
     eval_every_steps: int = 0
+    exclude_pairs: tuple = ()  # held-out rows never fed to training
 
     def __post_init__(self):
         def chunk_fn(state, idx_chunk):
@@ -187,7 +194,8 @@ class TrainLoop:
     ) -> TrainState:
         writer = writer or MetricWriter(None)
         stream = pair_index_stream(
-            self.num_pairs, self.batch_size, self.seed, self.shuffle
+            self.num_pairs, self.batch_size, self.seed, self.shuffle,
+            exclude=self.exclude_pairs,
         )
         start_step = int(state.step)
         # skip batches already consumed (exact resume)

@@ -43,7 +43,6 @@ from pacednegatives_tpu.train.state import TrainState
 @dataclasses.dataclass(frozen=True)
 class OnlineMiningConfig:
     pool_size: int = 64  # mined pool per query (reference pools are 1000)
-    refresh_every: int = 200  # steps between corpus re-encodes
     encode_batch: int = 128
     method: str = "exact"  # "exact" | "approx"
     exclude_positive: bool = True
@@ -153,10 +152,13 @@ class OnlineMiningLoop:
     num_pairs: int
     batch_size: int
     chunk_size: int = 16
-    refresh_every: int = 200
+    refresh_every: int = 200  # the single source of truth for refresh cadence
     seed: int = 0
     eval_fn: Callable | None = None  # state -> {metric: float}
     eval_every_steps: int = 0
+    checkpoint_dir: str | None = None
+    checkpoint_every_steps: int = 0
+    exclude_pairs: tuple = ()  # held-out rows never fed to training
 
     def __post_init__(self):
         def chunk_fn(carry, idx_chunk):
@@ -168,7 +170,10 @@ class OnlineMiningLoop:
         from pacednegatives_tpu.train.loop import MetricWriter, pair_index_stream
 
         writer = writer or MetricWriter(None)
-        stream = pair_index_stream(self.num_pairs, self.batch_size, self.seed)
+        stream = pair_index_stream(
+            self.num_pairs, self.batch_size, self.seed,
+            exclude=self.exclude_pairs,
+        )
         start_step = int(state.step)
         for _ in range(start_step):  # exact resume: skip consumed batches
             next(stream)
@@ -177,6 +182,7 @@ class OnlineMiningLoop:
         carry = (state, embeddings)
         done = start_step
         last_eval = done
+        last_ckpt = done
         since_refresh = 0
         while done < total_steps:
             k = min(self.chunk_size, total_steps - done)
@@ -189,6 +195,19 @@ class OnlineMiningLoop:
             writer.write(
                 {"step": done, **{m: np.asarray(v)[-1] for m, v in host.items()}}
             )
+            writer.flush()
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every_steps
+                and done - last_ckpt >= self.checkpoint_every_steps
+            ):
+                last_ckpt = done
+                from pacednegatives_tpu.train.loop import save_checkpoint
+                import os as _os
+
+                save_checkpoint(
+                    _os.path.join(self.checkpoint_dir, f"step_{done}"), carry[0]
+                )
             if (
                 self.eval_fn is not None
                 and self.eval_every_steps
@@ -199,6 +218,7 @@ class OnlineMiningLoop:
                 writer.write(
                     {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}
                 )
+                writer.flush()
             if since_refresh >= self.refresh_every and done < total_steps:
                 state, _old = carry
                 # async dispatch: enqueued behind the last chunk, the host

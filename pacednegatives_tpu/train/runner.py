@@ -147,6 +147,11 @@ def _build_data(cfg: RunConfig, tok):
         load_triples,
     )
 
+    if bool(cfg.docs) != bool(cfg.queries):
+        raise ValueError(
+            "--docs and --queries must be given together (got only one; "
+            "refusing to silently fall back to the synthetic corpus)"
+        )
     if cfg.docs and cfg.queries:
         corpus = TextCorpus.from_tsv(cfg.docs, cfg.queries)
     else:
@@ -263,16 +268,23 @@ def load_run(run_dir: str, checkpoint: str = "final"):
     return state.params, mcfg, tok, cfg
 
 
+def _eval_selection(cfg: RunConfig, triples) -> np.ndarray:
+    """Deterministic held-out pair rows (withheld from the training stream).
+
+    At most half the pairs are held out so a full training batch remains."""
+    rng = np.random.default_rng(12345)
+    n = min(cfg.eval_pairs, max(len(triples) // 2, 1))
+    return rng.choice(len(triples), size=n, replace=False)
+
+
 def _make_eval_fn(cfg: RunConfig, store, triples, mcfg, tok):
-    """Held-out probe: rank each eval pair's positive against its 9 hardest
-    pool negatives with the current model; report mean reciprocal rank."""
+    """Held-out probe: rank each held-out pair's positive against its 9
+    hardest pool negatives with the current model; report mean reciprocal
+    rank. The selected pairs are excluded from the training stream."""
     from pacednegatives_tpu.models import t5
     from pacednegatives_tpu.models.monot5 import relevance_log_probs
 
-    rng = np.random.default_rng(12345)
-    sel = rng.choice(
-        len(triples), size=min(cfg.eval_pairs, len(triples)), replace=False
-    )
+    sel = _eval_selection(cfg, triples)
     n_cand = min(10, triples.n_neg + 1)
     cand = np.stack(
         [
@@ -363,21 +375,37 @@ def run(cfg: RunConfig) -> dict:
         )
         state = init_train_state(params, tx, table.init(), seed=cfg.seed)
         state = _maybe_resume(cfg, state)
+
+        # scan-chunked like the other curricula: batch assembly (pair rows +
+        # per-example weight difficulty, reference get_batch(j, weights[j]),
+        # pairwrapper.py:153,243) happens on device inside the scan
+        def fused_meta(st, j):
+            weights_j = table.lookup(st.curriculum, j)
+            pair_idx = (
+                j * cfg.batch_size + jnp.arange(cfg.batch_size)
+            ) % dc.num_pairs
+            batch = dc.pair_batch(pair_idx, weights_j)
+            return step(st, batch, j)
+
+        chunk_fn = jax.jit(
+            lambda st, js: jax.lax.scan(fused_meta, st, js), donate_argnums=0
+        )
         import time as _time
 
         t0 = _time.time()
-        for i in range(int(state.step), steps):
-            j = i % num_batches
-            # per-example difficulty = current weight row (reference
-            # get_batch(j, self.weights[j]), pairwrapper.py:153,243)
-            weights_j = table.lookup(state.curriculum, jnp.int32(j))
-            batch = dc.pair_batch(
-                jnp.arange(j * cfg.batch_size, (j + 1) * cfg.batch_size) % dc.num_pairs,
-                weights_j,
+        done = int(state.step)
+        while done < steps:
+            k = min(cfg.chunk_size, steps - done)
+            js = jnp.asarray(
+                [(done + t) % num_batches for t in range(k)], jnp.int32
             )
-            state, metrics = step(state, batch, jnp.int32(j))
-            if i % 10 == 0:
-                writer.write({"step": i + 1, **jax.device_get(metrics)})
+            state, metrics = chunk_fn(state, js)
+            done += k
+            host = jax.device_get(metrics)
+            writer.write(
+                {"step": done, **{m: np.asarray(v)[-1] for m, v in host.items()}}
+            )
+            writer.flush()
         writer.write({"step": steps, "time": _time.time() - t0})
     else:
         controller = _build_controller(cfg, triples)
@@ -400,7 +428,6 @@ def run(cfg: RunConfig) -> dict:
 
             mining = OnlineMiningConfig(
                 pool_size=cfg.pool_size,
-                refresh_every=cfg.refresh_every,
                 encode_batch=cfg.encode_batch,
                 quantize=cfg.quantize_index,
             )
@@ -421,6 +448,13 @@ def run(cfg: RunConfig) -> dict:
                     else None
                 ),
                 eval_every_steps=cfg.eval_every_steps,
+                checkpoint_dir=cfg.out_dir,
+                checkpoint_every_steps=cfg.checkpoint_every_steps,
+                exclude_pairs=(
+                    tuple(_eval_selection(cfg, triples))
+                    if cfg.eval_every_steps
+                    else ()
+                ),
             )
             state = loop.run(state, steps, writer)
         else:
@@ -443,6 +477,11 @@ def run(cfg: RunConfig) -> dict:
                     else None
                 ),
                 eval_every_steps=cfg.eval_every_steps,
+                exclude_pairs=(
+                    tuple(_eval_selection(cfg, triples))
+                    if cfg.eval_every_steps
+                    else ()
+                ),
             )
             state = loop.run(state, steps, writer)
 

@@ -37,6 +37,12 @@ def make_optimizer(
     utilities/trainer.py:575,598-628)."""
     if warmup_steps is None:
         warmup_steps = max(total_steps // 100, 1)
+    if grad_accum_steps > 1:
+        # MultiSteps advances the inner schedule once per APPLIED update
+        # (every k micro-steps), so the schedule must be expressed in
+        # applied-update units or warmup/decay stretch by k
+        total_steps = max(total_steps // grad_accum_steps, 1)
+        warmup_steps = max(warmup_steps // grad_accum_steps, 1)
     schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
     tx = optax.adamw(schedule, weight_decay=weight_decay)
     if grad_clip is not None:

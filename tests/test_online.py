@@ -61,7 +61,7 @@ def test_online_step_runs_and_trains(setup):
         cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
         rel_id=tok.true_id, nrel_id=tok.false_id,
     )
-    mining = OnlineMiningConfig(pool_size=8, refresh_every=4, encode_batch=16)
+    mining = OnlineMiningConfig(pool_size=8, encode_batch=16)
     fused = make_online_fused_step(dc, step, ctrl, cfg, mining, n_neg_per_example=2)
     refresh = make_refresh_fn(dc, cfg, mining)
     state = init_train_state(params, tx, ctrl.init())
@@ -88,9 +88,7 @@ def test_online_quantized_index(setup):
         cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
         rel_id=tok.true_id, nrel_id=tok.false_id,
     )
-    mining = OnlineMiningConfig(
-        pool_size=8, refresh_every=4, encode_batch=16, quantize=True
-    )
+    mining = OnlineMiningConfig(pool_size=8, encode_batch=16, quantize=True)
     fused = make_online_fused_step(dc, step, ctrl, cfg, mining, 2)
     refresh = make_refresh_fn(dc, cfg, mining)
     vals, scales = refresh(params)

@@ -102,7 +102,7 @@ def test_stream_raises_on_undersized_corpus():
     """Finding 6: hang -> clear error."""
     from pacednegatives_tpu.train.loop import pair_index_stream
 
-    with pytest.raises(ValueError, match="num_pairs"):
+    with pytest.raises(ValueError, match="trainable pairs"):
         next(pair_index_stream(num_pairs=4, batch_size=8))
 
 
