@@ -103,6 +103,12 @@ def main(argv=None) -> list[dict]:
                 except Exception as e:  # eval.py:27-29 skip-on-error parity
                     print(f"Error in {name}: {type(e).__name__}: {e}")
 
+    if args.get("save_runs", "false").lower() in ("1", "true", "yes"):
+        from pacednegatives_tpu.eval import write_trec_run
+
+        for name, r in runs.items():
+            write_trec_run(join(out, f"{name}.run"), r, tag=name)
+
     rows = experiment(runs, qrels, metrics=METRICS, baseline=baseline_name)
     _write_rows(join(out, "results.csv"), rows)
 

@@ -8,6 +8,7 @@ from pacednegatives_tpu.eval.metrics import (
 )
 from pacednegatives_tpu.eval.experiment import experiment
 from pacednegatives_tpu.eval.rerank import Reranker
+from pacednegatives_tpu.eval.run_io import read_trec_run, write_trec_run
 
 __all__ = [
     "average_precision",
@@ -18,4 +19,6 @@ __all__ = [
     "evaluate_run",
     "experiment",
     "Reranker",
+    "read_trec_run",
+    "write_trec_run",
 ]

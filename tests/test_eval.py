@@ -115,3 +115,20 @@ def test_reranker_depth_and_ragged_batches():
     )
     out = rr.rerank({"q0": [f"d{i}" for i in range(7)]}, depth=3)
     assert len(out["q0"]) == 3
+
+
+def test_trec_run_roundtrip(tmp_path):
+    from pacednegatives_tpu.eval import read_trec_run, write_trec_run
+
+    run = {"q1": ["d3", "d1", "d2"], "q2": ["d9"]}
+    scores = {"q1": [2.5, 1.0, 0.5], "q2": [7.0]}
+    p = str(tmp_path / "a.run")
+    write_trec_run(p, run, tag="sys1", scores=scores)
+    got_run, got_scores = read_trec_run(p)
+    assert got_run == run
+    assert got_scores["q1"] == [2.5, 1.0, 0.5]
+    # rank-preserving pseudo-scores when none given
+    p2 = str(tmp_path / "b.run")
+    write_trec_run(p2, run)
+    got_run2, _ = read_trec_run(p2)
+    assert got_run2 == run
