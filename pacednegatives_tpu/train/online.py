@@ -167,7 +167,21 @@ class OnlineMiningLoop:
         self._chunk_fn = jax.jit(chunk_fn, donate_argnums=0)
 
     def run(self, state: TrainState, total_steps: int, writer=None):
-        from pacednegatives_tpu.train.loop import MetricWriter, pair_index_stream
+        """Resume note: the data stream and refresh cadence are aligned to
+        the ABSOLUTE step, but the index itself is not checkpointed — a
+        resumed run re-encodes the corpus with the restored params at the
+        resume point, so mined pools can differ from an uninterrupted run
+        between the resume step and the next scheduled refresh (documented
+        divergence; exact index resume would require checkpointing the full
+        embedding matrix)."""
+        import os
+        import time
+
+        from pacednegatives_tpu.train.loop import (
+            MetricWriter,
+            pair_index_stream,
+            save_checkpoint,
+        )
 
         writer = writer or MetricWriter(None)
         stream = pair_index_stream(
@@ -175,7 +189,7 @@ class OnlineMiningLoop:
             exclude=self.exclude_pairs,
         )
         start_step = int(state.step)
-        for _ in range(start_step):  # exact resume: skip consumed batches
+        for _ in range(start_step):  # resume: skip consumed batches
             next(stream)
 
         embeddings = self.refresh_fn(state.params)
@@ -183,17 +197,23 @@ class OnlineMiningLoop:
         done = start_step
         last_eval = done
         last_ckpt = done
-        since_refresh = 0
+        # refresh on absolute-step boundaries so cadence survives restarts
+        next_refresh = ((done // self.refresh_every) + 1) * self.refresh_every
+        t0 = time.time()
         while done < total_steps:
             k = min(self.chunk_size, total_steps - done)
             idx = np.stack([next(stream) for _ in range(k)])
             carry, metrics = self._chunk_fn(carry, jnp.asarray(idx))
             done += k
-            since_refresh += k
 
             host = jax.device_get(metrics)
+            dt = time.time() - t0
             writer.write(
-                {"step": done, **{m: np.asarray(v)[-1] for m, v in host.items()}}
+                {
+                    "step": done,
+                    **{m: np.asarray(v)[-1] for m, v in host.items()},
+                    "steps_per_sec": (done - start_step) / dt if dt > 0 else 0.0,
+                }
             )
             writer.flush()
             if (
@@ -202,11 +222,8 @@ class OnlineMiningLoop:
                 and done - last_ckpt >= self.checkpoint_every_steps
             ):
                 last_ckpt = done
-                from pacednegatives_tpu.train.loop import save_checkpoint
-                import os as _os
-
                 save_checkpoint(
-                    _os.path.join(self.checkpoint_dir, f"step_{done}"), carry[0]
+                    os.path.join(self.checkpoint_dir, f"step_{done}"), carry[0]
                 )
             if (
                 self.eval_fn is not None
@@ -219,11 +236,11 @@ class OnlineMiningLoop:
                     {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}
                 )
                 writer.flush()
-            if since_refresh >= self.refresh_every and done < total_steps:
+            if done >= next_refresh and done < total_steps:
                 state, _old = carry
                 # async dispatch: enqueued behind the last chunk, the host
                 # continues immediately; next chunk uses the new embeddings
                 embeddings = self.refresh_fn(state.params)
                 carry = (state, embeddings)
-                since_refresh = 0
+                next_refresh += self.refresh_every
         return carry[0]

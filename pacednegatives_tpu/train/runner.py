@@ -271,9 +271,15 @@ def load_run(run_dir: str, checkpoint: str = "final"):
 def _eval_selection(cfg: RunConfig, triples) -> np.ndarray:
     """Deterministic held-out pair rows (withheld from the training stream).
 
-    At most half the pairs are held out so a full training batch remains."""
+    The holdout is capped so at least one full training batch remains."""
     rng = np.random.default_rng(12345)
-    n = min(cfg.eval_pairs, max(len(triples) // 2, 1))
+    n = min(cfg.eval_pairs, len(triples) - cfg.batch_size)
+    if n < 1:
+        raise ValueError(
+            f"cannot hold out eval pairs: {len(triples)} pairs leave no full "
+            f"batch of {cfg.batch_size} after a holdout; add data or disable "
+            "eval_every_steps"
+        )
     return rng.choice(len(triples), size=n, replace=False)
 
 
