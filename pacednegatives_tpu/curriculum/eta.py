@@ -17,6 +17,15 @@ objective wrt eta is a closed form over (ce, eta) — so no extra model forward
 is ever needed. The reference pays two no-grad forwards per step for this
 (lceT5.py:131-135); we reuse the main-pass CE under ``stop_gradient``
 (SURVEY.md §7 item 6).
+
+CE scale (``ce_scale``): the reference always starts from pretrained t5-base,
+where verbalizer CE is O(1) — the same scale as eta in (0,1) — so
+``difficulty = eta`` traverses the pool as the model's losses cross the
+threshold. From RANDOM init, CE sits at ~log(vocab) ≈ 10, every example is
+above any eta in (0,1), and the feedback saturates (difficulty pinned).
+``ce_scale`` divides all CE signals before the weight function/objective so
+random-init runs live in the reference's operating regime; ``ce_scale=1``
+(default) is reference-exact for pretrained checkpoints.
 """
 
 from __future__ import annotations
@@ -85,11 +94,20 @@ class EtaController:
     eta_max: float = 1.0
     clamp: bool = True
     optimizer: str = "adam"  # "adam" (EtaWrapper) | "adamw" (LCEModel)
+    # divide CE signals by this before the weight fn/objective (see module
+    # docstring); 1.0 = reference-exact pretrained scale
+    ce_scale: float = 1.0
+    # ((step, factor), ...) meta-LR milestone decay — parity with the HF
+    # fork's epoch-wise x0.1 at 1/4 and 1/2 of training
+    # (utilities/trainer.py:528); empty = plain linear schedule
+    milestones: tuple = ()
 
     def _tx(self) -> optax.GradientTransformation:
         schedule = linear_warmup_decay(
             self.meta_lr, self.warmup_steps, self.total_steps
         )
+        if self.milestones:
+            schedule = milestone_decay(schedule, dict(self.milestones))
         if self.optimizer == "adamw":
             return optax.adamw(schedule)
         return optax.adam(schedule)
@@ -108,10 +126,11 @@ class EtaController:
         return jnp.clip(state.eta, 0.0, 1.0 - 1e-10)
 
     def _objective(self, eta, signals: StepSignals) -> jax.Array:
-        v = eta_weight(signals.ce, eta, self.kind)
+        s = 1.0 / self.ce_scale
+        v = eta_weight(signals.ce * s, eta, self.kind)
         if self.objective == "self_paced":
-            return self_paced_objective(signals.pce, signals.nce, v)
-        return jnp.mean(v * signals.ce)
+            return self_paced_objective(signals.pce * s, signals.nce * s, v)
+        return jnp.mean(v * signals.ce * s)
 
     def update(self, state: EtaState, signals: StepSignals) -> EtaState:
         signals = jax.tree_util.tree_map(jax.lax.stop_gradient, signals)
@@ -126,6 +145,12 @@ class EtaController:
 
     def meta_loss(self, state: EtaState, signals: StepSignals) -> jax.Array:
         return self._objective(state.eta, signals)
+
+    def success_rate(self, state: EtaState, signals: StepSignals) -> jax.Array:
+        """Reference semantics: fraction of examples whose (scaled) CE is
+        below the current eta (old/eta_bound.py:57-58 check_success_rate,
+        compared against the post-meta-step eta)."""
+        return jnp.mean((signals.ce / self.ce_scale < state.eta).astype(jnp.float32))
 
     def metrics(self, state: EtaState) -> dict[str, jax.Array]:
         return {"eta": state.eta, "difficulty": self.difficulty(state)}

@@ -143,6 +143,7 @@ class DeviceCorpus:
         pos_ids, pos_mask = self.assemble(q, pos_d)
         neg_ids, neg_mask = self.assemble(q, neg_d)
         B = pair_idx.shape[0]
+        denom = max(self.n_neg - 1, 1)
         return {
             "pos_ids": pos_ids,
             "pos_mask": pos_mask,
@@ -150,6 +151,11 @@ class DeviceCorpus:
             "neg_ids": neg_ids,
             "neg_mask": neg_mask,
             "neg_labels": self.labels(B, False),
+            # normalized pool position of the drawn negatives (0 = easiest,
+            # 1 = hardest) — observability for the pacing feedback
+            "neg_rank": jnp.broadcast_to(
+                neg_slot.astype(jnp.float32) / denom, (B,)
+            ),
         }
 
     def lce_batch(
@@ -185,4 +191,7 @@ class DeviceCorpus:
             "neg_ids": neg_ids,
             "neg_mask": neg_mask,
             "neg_labels": self.labels(B * n, False),
+            "neg_rank": (
+                slots.astype(jnp.float32) / max(self.n_neg - 1, 1)
+            ).reshape(-1),
         }

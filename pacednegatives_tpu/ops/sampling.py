@@ -30,28 +30,39 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln
+from jax.scipy.special import gammaln, xlog1py, xlogy
+
+# fp32-safe probability clamp. The reference caps difficulty at 1 - 1e-10 in
+# float64 on the host (lceT5.py:79); 1 - 1e-10 is NOT representable in fp32
+# (it rounds to exactly 1.0, making log1p(-p) = -inf and the k=n term
+# 0 * -inf = NaN, which silently collapsed the PMF to "pick the easiest
+# slots"). 1e-6 is comfortably inside fp32 resolution near 1 (spacing 6e-8)
+# and distributionally indistinguishable from 1e-10 at pool sizes <= 1000.
+_P_EPS = 1e-6
 
 
 def binomial_log_pmf(k: jax.Array, n: int | jax.Array, p: jax.Array) -> jax.Array:
-    """log Binomial(k; n, p), stable for p in (0, 1)."""
+    """log Binomial(k; n, p), stable for p in [0, 1] under fp32.
+
+    xlogy/xlog1py make the degenerate endpoints exact (0*log 0 = 0) even if a
+    caller bypasses the clamp."""
     k = k.astype(jnp.float32)
     n = jnp.asarray(n, jnp.float32)
-    p = jnp.clip(jnp.asarray(p, jnp.float32), 1e-10, 1.0 - 1e-10)
+    p = jnp.clip(jnp.asarray(p, jnp.float32), _P_EPS, 1.0 - _P_EPS)
     return (
         gammaln(n + 1.0)
         - gammaln(k + 1.0)
         - gammaln(n - k + 1.0)
-        + k * jnp.log(p)
-        + (n - k) * jnp.log1p(-p)
+        + xlogy(k, p)
+        + xlog1py(n - k, -p)
     )
 
 
 def paced_binomial_log_probs(
     n_neg: int,
     mean: jax.Array,
-    min_mean: float = 1e-10,
-    max_mean: float = 1.0 - 1e-10,
+    min_mean: float = _P_EPS,
+    max_mean: float = 1.0 - _P_EPS,
 ) -> jax.Array:
     """(n_neg,) log-probabilities over pool indices for difficulty ``mean``.
 

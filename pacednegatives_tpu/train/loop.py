@@ -171,6 +171,10 @@ class TrainLoop:
     seed: int = 0
     shuffle: bool = True
     log_every_chunks: int = 1
+    # "last": chunk-final step only; "mean": per-chunk aggregates;
+    # "all": one row per step (reference logs every step,
+    # old/eta_bound.py:142-150 — inside-chunk history is not discarded)
+    log_mode: str = "last"
     checkpoint_dir: str | None = None
     checkpoint_every_steps: int = 0
     # Optional held-out evaluation: eval_fn(state) -> {metric: float},
@@ -215,15 +219,32 @@ class TrainLoop:
             chunk_i += 1
 
             if chunk_i % self.log_every_chunks == 0:
-                host = jax.device_get(metrics)
-                last = {k: np.asarray(v)[-1] for k, v in host.items()}
-                writer.write(
-                    {
-                        "step": done,
-                        **last,
-                        "steps_per_sec": done_per_sec(done - start_step, t0),
-                    }
-                )
+                host = {
+                    k: np.asarray(v) for k, v in jax.device_get(metrics).items()
+                }
+                sps = done_per_sec(done - start_step, t0)
+                if self.log_mode == "all":
+                    for t in range(n):
+                        row = {k: v[t] for k, v in host.items()}
+                        if t == n - 1:
+                            row["steps_per_sec"] = sps
+                        writer.write({"step": done - n + 1 + t, **row})
+                elif self.log_mode == "mean":
+                    writer.write(
+                        {
+                            "step": done,
+                            **{k: v.mean() for k, v in host.items()},
+                            "steps_per_sec": sps,
+                        }
+                    )
+                else:
+                    writer.write(
+                        {
+                            "step": done,
+                            **{k: v[-1] for k, v in host.items()},
+                            "steps_per_sec": sps,
+                        }
+                    )
                 writer.flush()
 
             # boundary-crossing cadence: chunked stepping means ``done`` only

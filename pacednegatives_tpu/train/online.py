@@ -116,6 +116,9 @@ def make_online_fused_step(
             "neg_ids": neg_ids,
             "neg_mask": neg_mask,
             "neg_labels": corpus.labels(B * n, False),
+            "neg_rank": (
+                slots.astype(jnp.float32) / max(mining.pool_size - 1, 1)
+            ).reshape(-1),
         }
         state, metrics = step_fn(state, batch)
         return (state, embeddings), metrics
@@ -159,6 +162,7 @@ class OnlineMiningLoop:
     checkpoint_dir: str | None = None
     checkpoint_every_steps: int = 0
     exclude_pairs: tuple = ()  # held-out rows never fed to training
+    log_mode: str = "last"  # "last" | "mean" | "all" (see TrainLoop)
 
     def __post_init__(self):
         def chunk_fn(carry, idx_chunk):
@@ -206,15 +210,31 @@ class OnlineMiningLoop:
             carry, metrics = self._chunk_fn(carry, jnp.asarray(idx))
             done += k
 
-            host = jax.device_get(metrics)
+            host = {m: np.asarray(v) for m, v in jax.device_get(metrics).items()}
             dt = time.time() - t0
-            writer.write(
-                {
-                    "step": done,
-                    **{m: np.asarray(v)[-1] for m, v in host.items()},
-                    "steps_per_sec": (done - start_step) / dt if dt > 0 else 0.0,
-                }
-            )
+            sps = (done - start_step) / dt if dt > 0 else 0.0
+            if self.log_mode == "all":
+                for t in range(k):
+                    row = {m: v[t] for m, v in host.items()}
+                    if t == k - 1:
+                        row["steps_per_sec"] = sps
+                    writer.write({"step": done - k + 1 + t, **row})
+            elif self.log_mode == "mean":
+                writer.write(
+                    {
+                        "step": done,
+                        **{m: v.mean() for m, v in host.items()},
+                        "steps_per_sec": sps,
+                    }
+                )
+            else:
+                writer.write(
+                    {
+                        "step": done,
+                        **{m: v[-1] for m, v in host.items()},
+                        "steps_per_sec": sps,
+                    }
+                )
             writer.flush()
             if (
                 self.checkpoint_dir

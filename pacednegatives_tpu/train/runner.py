@@ -66,6 +66,14 @@ class RunConfig:
     eta0: float = 0.5
     eta_min: float = 1e-10
     eta_max: float = 1.0
+    # CE normalization for the eta feedback (curriculum/eta.py docstring):
+    # None = auto — 1.0 for pretrained checkpoints (reference-exact scale),
+    # log(vocab) x loss-aggregation width for random init so eta/difficulty
+    # actually traverse (0,1) instead of saturating. Explicit float overrides.
+    ce_scale: Optional[float] = None
+    # x0.1 meta-LR at 1/4 and 1/2 of training (HF-fork parity,
+    # utilities/trainer.py:528)
+    meta_lr_milestone_decay: bool = False
     # level (train/level.py defaults)
     success_threshold: float = 0.5
     heuristic_step_check: int = 1000
@@ -86,6 +94,9 @@ class RunConfig:
     out_dir: str = "runs/out"
     chunk_size: int = 16
     log_every_chunks: int = 1
+    # "all" = one JSONL row per step (reference logs every step,
+    # old/eta_bound.py:142-150); "mean" = per-chunk aggregates; "last"
+    log_mode: str = "all"
     checkpoint_every_steps: int = 0
     resume_from: Optional[str] = None
     seed: int = 42
@@ -189,7 +200,24 @@ def _opt_steps(cfg: RunConfig) -> tuple[int, int]:
     return steps, warmup
 
 
-def _build_controller(cfg: RunConfig, triples):
+def _resolve_ce_scale(cfg: RunConfig, vocab_size: int) -> float:
+    """Auto ce_scale (cfg.ce_scale=None): match the reference's operating
+    regime. Pretrained checkpoints -> 1.0 (verbalizer CE is already O(1),
+    reference-exact). Random init -> the CE plateau of a uniform softmax,
+    log(V), times the width of the loss the weights act on: (pce+nce)/2 for
+    pair curricula (~log V), pce + mean/sum(nce over n) for LCE
+    (~2 log V / ~(1+n) log V)."""
+    if cfg.ce_scale is not None:
+        return float(cfg.ce_scale)
+    if cfg.model not in ("tiny", "small", "base"):
+        return 1.0
+    logv = float(np.log(max(vocab_size, 2)))
+    if cfg.curriculum == "lce":
+        return (2.0 if cfg.use_mean else 1.0 + cfg.n) * logv
+    return logv
+
+
+def _build_controller(cfg: RunConfig, triples, vocab_size: int = 0):
     from pacednegatives_tpu.curriculum import (
         EtaController,
         InterpController,
@@ -198,6 +226,12 @@ def _build_controller(cfg: RunConfig, triples):
 
     meta_lr = cfg.meta_lr if cfg.meta_lr is not None else cfg.lr
     opt_steps, warmup = _opt_steps(cfg)
+    ce_scale = _resolve_ce_scale(cfg, vocab_size)
+    milestones = (
+        ((opt_steps // 4, 0.1), (opt_steps // 2, 0.1))
+        if cfg.meta_lr_milestone_decay
+        else ()
+    )
     if cfg.curriculum == "interp":
         return InterpController(
             start=cfg.start_difficulty, end=cfg.max_difficulty,
@@ -217,6 +251,7 @@ def _build_controller(cfg: RunConfig, triples):
             warmup_steps=warmup, total_steps=opt_steps,
             kind="eta", objective="self_paced",
             eta_min=cfg.eta_min, eta_max=cfg.eta_max,
+            ce_scale=ce_scale, milestones=milestones,
         )
     if cfg.curriculum == "lce":
         return EtaController(
@@ -224,6 +259,7 @@ def _build_controller(cfg: RunConfig, triples):
             warmup_steps=warmup, total_steps=opt_steps,
             kind="lce", objective="weighted_ce", optimizer="adamw",
             clamp=False,
+            ce_scale=ce_scale, milestones=milestones,
         )
     if cfg.curriculum == "contrast":
         from pacednegatives_tpu.curriculum import ContrastController
@@ -234,6 +270,7 @@ def _build_controller(cfg: RunConfig, triples):
             eta_min=cfg.eta_min, eta_max=cfg.eta_max,
             n_neg=max(triples.n_neg - 1, 1), threshold=cfg.success_threshold,
             rate_check=cfg.rate_check,
+            ce_scale=ce_scale, milestones=milestones,
         )
     raise ValueError(f"unknown curriculum {cfg.curriculum}")
 
@@ -261,7 +298,7 @@ def load_run(run_dir: str, checkpoint: str = "final"):
             batch_size=cfg.batch_size,
         ).init()
     else:
-        curr = _build_controller(cfg, triples).init()
+        curr = _build_controller(cfg, triples, tok.vocab_size).init()
     template = init_train_state(params, tx, curr, seed=cfg.seed)
     # strict: silently scoring untrained params is worse than failing
     state = restore_checkpoint(os.path.join(run_dir, checkpoint), template)
@@ -414,7 +451,10 @@ def run(cfg: RunConfig) -> dict:
             writer.flush()
         writer.write({"step": steps, "time": _time.time() - t0})
     else:
-        controller = _build_controller(cfg, triples)
+        controller = _build_controller(cfg, triples, tok.vocab_size)
+        if hasattr(controller, "ce_scale"):
+            # record the resolved normalization so curves are interpretable
+            writer.write({"step": 0, "ce_scale": float(controller.ce_scale)})
         loss_kind = "lce" if cfg.curriculum == "lce" else "pair"
         n = cfg.n if loss_kind == "lce" else 1
         step = make_train_step(
@@ -448,6 +488,7 @@ def run(cfg: RunConfig) -> dict:
                 chunk_size=cfg.chunk_size,
                 refresh_every=cfg.refresh_every,
                 seed=cfg.seed,
+                log_mode=cfg.log_mode,
                 eval_fn=(
                     _make_eval_fn(cfg, store, triples, mcfg, tok)
                     if cfg.eval_every_steps
@@ -475,6 +516,7 @@ def run(cfg: RunConfig) -> dict:
                 seed=cfg.seed,
                 shuffle=cfg.shuffle,
                 log_every_chunks=cfg.log_every_chunks,
+                log_mode=cfg.log_mode,
                 checkpoint_dir=cfg.out_dir,
                 checkpoint_every_steps=cfg.checkpoint_every_steps,
                 eval_fn=(

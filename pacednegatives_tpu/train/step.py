@@ -111,12 +111,28 @@ def make_train_step(
         )
         curriculum = controller.update(state.curriculum, signals)
 
+        # Reference log schema (old/eta_bound.py:142-150, old/levels.py:84):
+        # probs        = pairwise accuracy P_true(pos) > P_true(neg)
+        # success_rate = mean(ce < eta) for eta-family controllers (compared
+        #                against the post-update eta), else pairwise accuracy
+        #                (LevelWrapper's check_success)
+        # p_true       = mean P_true over positives (ours, kept for round-1
+        #                curve continuity)
+        pair_acc = jnp.mean(signals.success)
         metrics = {
             "loss": main_loss,
-            "success_rate": jnp.mean(signals.success),
-            "probs": jnp.mean(p_prob),
+            "probs": pair_acc,
+            "p_true": jnp.mean(p_prob),
             **controller.metrics(curriculum),
         }
+        if hasattr(controller, "success_rate"):
+            metrics["success_rate"] = controller.success_rate(curriculum, signals)
+        else:
+            metrics["success_rate"] = pair_acc
+        if "neg_rank" in batch:
+            # mean sampled pool position in [0,1] — direct evidence that the
+            # curriculum's difficulty actually shifts which negatives train
+            metrics["neg_rank"] = jnp.mean(batch["neg_rank"])
         if hasattr(controller, "meta_loss"):
             metrics["meta_loss"] = controller.meta_loss(state.curriculum, signals)
 

@@ -44,8 +44,11 @@ def learned():
     params0 = init_params(jax.random.key(0), cfg)
 
     steps = 120
-    ctrl = EtaController(eta0=9.0, meta_lr=0.01, warmup_steps=5,
-                         total_steps=steps, eta_max=12.0)
+    # normalized-CE paced regime (curriculum/eta.py docstring): eta starts
+    # at the reference default 0.5 and the loop paces instead of saturating
+    ctrl = EtaController(eta0=0.5, meta_lr=0.02, warmup_steps=5,
+                         total_steps=steps,
+                         ce_scale=2.0 * float(np.log(1024)))
     tx = make_optimizer(lr=3e-3, total_steps=steps)
     step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=4,
                            use_mean=True, rel_id=tok.true_id, nrel_id=tok.false_id)
