@@ -83,7 +83,11 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     )
 
     total = steps * 3
-    ctrl = EtaController(eta0=7.0, meta_lr=1e-3, warmup_steps=10, total_steps=total, eta_max=10.0)
+    # paced regime: CE normalized by its random-init plateau (2 log V for
+    # use_mean LCE) so the eta feedback operates, not saturates
+    ctrl = EtaController(eta0=0.5, meta_lr=1e-3, warmup_steps=10,
+                         total_steps=total,
+                         ce_scale=2.0 * float(np.log(cfg.vocab_size)))
     tx = make_optimizer(lr=1e-3, total_steps=total)
     step = make_train_step(
         cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
@@ -97,18 +101,17 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
 
     chunk_jit = jax.jit(chunk_fn, donate_argnums=0)
 
-    # Analytic model FLOPs per step (XLA cost_analysis undercounts nested
-    # remat computations): ~3x forward for fwd+bwd, plus attention terms.
-    from pacednegatives_tpu.models.t5 import count_params
+    # Honest model FLOPs per step (MFU convention: fwd + bwd = 3x fwd of
+    # USEFUL matmul FLOPs; remat recompute and non-matmul ops not counted;
+    # encoder/decoder token counts split — the decoder sees only the 2
+    # label tokens). See utils/profiling.t5_step_flops.
+    from pacednegatives_tpu.utils.profiling import t5_step_flops
 
     L = dc.prefix.shape[0] + dc.q_tokens.shape[1] + dc.mid.shape[0] + \
         dc.d_tokens.shape[1] + dc.suffix.shape[0]
     seqs = batch_size * (1 + n)
-    tokens = seqs * L
-    n_layers = cfg.num_layers + cfg.num_decoder_layers
-    attn_flops = 4 * seqs * cfg.num_heads * L * L * cfg.d_kv * n_layers
-    fwd = 2 * count_params(params) * tokens + attn_flops
-    bench_fused.flops_per_step = 3.2 * fwd  # fwd + bwd(2x) + remat recompute
+    bench_fused.flops_per_step = t5_step_flops(cfg, seqs, int(L), 2)
+    bench_fused.prompt_len = int(L)
 
     rng = np.random.default_rng(0)
     mk_idx = lambda k: jnp.asarray(
@@ -139,7 +142,9 @@ def bench_reference_style(cfg, tok, corpus, store, triples, params, batch_size, 
     from pacednegatives_tpu.train import init_train_state, make_optimizer
     import optax
 
-    ctrl = EtaController(eta0=7.0, meta_lr=1e-3, warmup_steps=10, total_steps=steps * 3, eta_max=10.0)
+    ctrl = EtaController(eta0=0.5, meta_lr=1e-3, warmup_steps=10,
+                         total_steps=steps * 3,
+                         ce_scale=2.0 * float(np.log(cfg.vocab_size)))
     tx = make_optimizer(lr=1e-3, total_steps=steps * 3)
     state = init_train_state(params, tx, ctrl.init())
 
@@ -251,13 +256,14 @@ def run_phase(phase: str):
     n = int(os.environ.get("BENCH_NEGS", "7"))
 
     cfg, tok, corpus, store, triples, dc, params = build(model)
-    if phase == "fused":
+    if phase.startswith("fused"):
         sps, last_loss = bench_fused(
             cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1)
         )
         print(json.dumps({
-            "phase": "fused", "steps_per_sec": sps, "final_loss": last_loss,
+            "phase": phase, "steps_per_sec": sps, "final_loss": last_loss,
             "flops_per_step": bench_fused.flops_per_step,
+            "prompt_len": bench_fused.prompt_len,
         }))
     else:
         sps = bench_reference_style(
@@ -279,10 +285,25 @@ def main():
     model = os.environ.get("BENCH_MODEL", "base")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     n = int(os.environ.get("BENCH_NEGS", "7"))
+    # also measure the reference's full 512-token truncation budget
+    # (old/lce_wrapper.py:70-71) — the flagship long config — unless disabled
+    measure_long = os.environ.get("BENCH_LONG", "1") == "1"
+
+    phases = [("fused", {}), ("ref", {})]
+    if measure_long:
+        phases.append(
+            (
+                "fused512",
+                {
+                    "BENCH_DOC_TOKENS": "484",
+                    "BENCH_ATTN": os.environ.get("BENCH_LONG_ATTN", "chunked"),
+                },
+            )
+        )
 
     results = {}
-    for ph in ("fused", "ref"):
-        env = dict(os.environ, BENCH_PHASE=ph)
+    for ph, extra_env in phases:
+        env = dict(os.environ, BENCH_PHASE=ph, **extra_env)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
@@ -299,12 +320,26 @@ def main():
                 f"phase {ph} failed:\n{proc.stdout[-500:]}\n{proc.stderr[-2000:]}"
             )
 
-    fused_sps = results["fused"]["steps_per_sec"]
-    last_loss = results["fused"]["final_loss"]
-    flops_per_step = results["fused"].get("flops_per_step")
-    ref_sps = results["ref"]["steps_per_sec"]
+    from pacednegatives_tpu.utils.profiling import device_peak_flops
 
-    value = fused_sps * batch_size * n
+    peak = os.environ.get("BENCH_PEAK_TFLOPS")
+    peak = float(peak) * 1e12 if peak else device_peak_flops()
+
+    def perf(rec):
+        sps = rec["steps_per_sec"]
+        out = {
+            "steps_per_sec": round(sps, 3),
+            "neg_per_sec": round(sps * batch_size * n, 2),
+            "prompt_len": rec["prompt_len"],
+            "model_tflops_per_sec": round(rec["flops_per_step"] * sps / 1e12, 1),
+        }
+        if peak:
+            out["mfu"] = round(rec["flops_per_step"] * sps / peak, 3)
+        return out
+
+    fused = perf(results["fused"])
+    ref_sps = results["ref"]["steps_per_sec"]
+    value = fused["neg_per_sec"]
     baseline = ref_sps * batch_size * n
     record = {
         "metric": "negatives_scored_per_sec_per_chip",
@@ -314,15 +349,19 @@ def main():
         "model": model,
         "batch_size": batch_size,
         "n_negatives": n,
-        "fused_steps_per_sec": round(fused_sps, 3),
+        "fused_steps_per_sec": fused["steps_per_sec"],
+        "prompt_len": fused["prompt_len"],
+        "model_tflops_per_sec": fused["model_tflops_per_sec"],
         "reference_style_steps_per_sec": round(ref_sps, 3),
         "device": str(jax.devices()[0]),
-        "final_loss": round(last_loss, 4),
+        "final_loss": round(results["fused"]["final_loss"], 4),
     }
-    if flops_per_step:
-        record["approx_tflops_per_sec"] = round(
-            flops_per_step * fused_sps / 1e12, 1
-        )
+    if "mfu" in fused:
+        record["mfu"] = fused["mfu"]
+        record["peak_tflops_assumed"] = round(peak / 1e12, 0)
+    if "fused512" in results:
+        long = perf(results["fused512"])
+        record.update({f"l512_{k}": v for k, v in long.items()})
     print(json.dumps(record))
 
 

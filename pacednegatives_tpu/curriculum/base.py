@@ -25,8 +25,11 @@ import jax
 class StepSignals(NamedTuple):
     """Per-step signals produced by the train step.
 
-    pce / nce: (B,) per-example positive / negative CE.
-    ce: (B,) combined CE the self-paced weights act on — (pce + nce) / 2 in
+    pce / nce: positive / negative CE — per label TOKEN, (B*L_label,), for
+        the pair curricula (the reference flattens logits to (B*L, V) before
+        CrossEntropyLoss, so eta weighting runs over tokens,
+        old/eta_bound.py:69-78); per example, (B,), for LCE.
+    ce: combined CE the self-paced weights act on — (pce + nce) / 2 in
         the eta wrapper (old/eta_bound.py:73-76), pce + agg(nce) for LCE.
     success: (B,) float 0/1 — P_true(pos) > P_true(neg) per example
         (old/levels.py:35-39).

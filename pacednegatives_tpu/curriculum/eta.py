@@ -109,7 +109,9 @@ class EtaController:
         if self.milestones:
             schedule = milestone_decay(schedule, dict(self.milestones))
         if self.optimizer == "adamw":
-            return optax.adamw(schedule)
+            # the legacy transformers.AdamW the reference imports
+            # (lceT5.py:5,171): eps=1e-6, weight_decay=0.0
+            return optax.adamw(schedule, eps=1e-6, weight_decay=0.0)
         return optax.adam(schedule)
 
     def init(self) -> EtaState:
@@ -123,7 +125,14 @@ class EtaController:
     def difficulty(self, state: EtaState) -> jax.Array:
         # ChangeDifficulty caps at 1-1e-10 (lceT5.py:79); harmless for the
         # clamped EtaWrapper variant too.
-        return jnp.clip(state.eta, 0.0, 1.0 - 1e-10)
+        d = jnp.clip(state.eta, 0.0, 1.0 - 1e-10)
+        if self.kind == "eta":
+            # EtaWrapper's train loop starts at difficulty 0.0 and only
+            # assigns difficulty = eta AFTER the first step
+            # (old/eta_bound.py:125,164); the LCE module starts at eta
+            # (lceT5.py:113).
+            return jnp.where(state.step == 0, 0.0, d)
+        return d
 
     def _objective(self, eta, signals: StepSignals) -> jax.Array:
         s = 1.0 / self.ce_scale

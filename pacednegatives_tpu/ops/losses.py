@@ -27,6 +27,19 @@ import jax.numpy as jnp
 IGNORE_INDEX = -100
 
 
+def token_ce_per_token(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = IGNORE_INDEX
+) -> jax.Array:
+    """Per-token cross entropy: (B, L, V) logits, (B, L) labels -> (B, L)
+    CE with ignored positions zeroed (the reference's flat
+    ``CrossEntropyLoss(reduction='none')`` over (B*L, V), reshaped)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    tok = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, tok, 0.0)
+
+
 def token_ce(
     logits: jax.Array, labels: jax.Array, ignore_index: int = IGNORE_INDEX
 ) -> jax.Array:
@@ -38,11 +51,8 @@ def token_ce(
     are equivalent under the final batch mean when label lengths are equal
     (they always are: the verbalizer is a fixed 1-2 token sequence).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = labels != ignore_index
-    safe = jnp.where(valid, labels, 0)
-    tok = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    tok = jnp.where(valid, tok, 0.0)
+    tok = token_ce_per_token(logits, labels, ignore_index)
     count = jnp.maximum(valid.sum(axis=-1), 1)
     return tok.sum(axis=-1) / count
 

@@ -28,13 +28,18 @@ def make_optimizer(
     lr: float,
     total_steps: int,
     warmup_steps: int | None = None,
-    weight_decay: float = 0.01,
+    weight_decay: float = 0.0,
+    eps: float = 1e-6,
     grad_clip: float | None = 1.0,
     grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW + linear warmup-decay (+ optional global-norm clipping and
     gradient accumulation — the HF-fork features the reference inherits at
-    utilities/trainer.py:575,598-628)."""
+    utilities/trainer.py:575,598-628).
+
+    Defaults match the LEGACY transformers.AdamW every reference trainer
+    imports (pairwrapper.py:11, lceT5.py:5): eps=1e-6, weight_decay=0.0 —
+    NOT torch.optim.AdamW's (1e-8, 0.01)."""
     if warmup_steps is None:
         warmup_steps = max(total_steps // 100, 1)
     if grad_accum_steps > 1:
@@ -44,7 +49,7 @@ def make_optimizer(
         total_steps = max(total_steps // grad_accum_steps, 1)
         warmup_steps = max(warmup_steps // grad_accum_steps, 1)
     schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
-    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    tx = optax.adamw(schedule, eps=eps, weight_decay=weight_decay)
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if grad_accum_steps > 1:

@@ -27,7 +27,7 @@ from pacednegatives_tpu.curriculum.base import StepSignals
 from pacednegatives_tpu.curriculum.meta import MetaWeightTable
 from pacednegatives_tpu.models import t5
 from pacednegatives_tpu.models.monot5 import relevance_probs
-from pacednegatives_tpu.ops.losses import lce_ce, token_ce
+from pacednegatives_tpu.ops.losses import lce_ce, token_ce, token_ce_per_token
 from pacednegatives_tpu.train.state import TrainState
 
 Batch = dict[str, jax.Array]
@@ -39,6 +39,24 @@ def _ce_and_first_logits(params, cfg, ids, mask, labels, dropout_key=None):
         deterministic=dropout_key is None, dropout_key=dropout_key,
     )
     return token_ce(logits, labels), logits[:, 0, :]
+
+
+def _ce_with_tokens(params, cfg, ids, mask, labels, dropout_key=None):
+    """Per-example CE, per-TOKEN CE matrix, and first decode-step logits.
+
+    The pair-curriculum meta objective needs per-token CE: the reference
+    flattens logits to (B*L_label, V) before CrossEntropyLoss, so EtaWeights
+    thresholding and the -sum(v) regularizer run over label TOKENS (2 per
+    example: verbalizer + eos), not examples (old/eta_bound.py:69-78)."""
+    logits = t5.forward_logits(
+        params, cfg, ids, labels, mask,
+        deterministic=dropout_key is None, dropout_key=dropout_key,
+    )
+    per_tok = token_ce_per_token(logits, labels)
+    valid = labels != -100
+    count = jnp.maximum(valid.sum(axis=-1), 1)
+    per_ex = per_tok.sum(axis=-1) / count
+    return per_ex, per_tok, logits[:, 0, :]
 
 
 def make_train_step(
@@ -54,8 +72,13 @@ def make_train_step(
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build step(state, batch) -> (state, metrics).
 
-    loss="pair": main = mean(pce) + mean(nce); curriculum ce = (pce+nce)/2
-    (old/eta_bound.py:73-76, old/levels.py:52).
+    loss="pair": main = mean(pce) + mean(nce); curriculum signals are
+    per-TOKEN CE vectors of length B*L_label and ce = (pce+nce)/2 — the
+    reference flattens to (B*L_label, V) before CrossEntropyLoss, so the
+    eta weighting/objective/success-rate all run over label tokens
+    (old/eta_bound.py:69-78; labels are [verbalizer, eos] so L_label=2).
+    Labels on this path must not contain ignore_index (every in-repo
+    assembly emits fully-valid 2-token labels).
     loss="lce": main = mean(pce + agg_n nce); curriculum ce = the same
     per-example vector (lceT5.py:116-123,131-135).
     """
@@ -75,23 +98,27 @@ def make_train_step(
             ids = jnp.concatenate([batch["pos_ids"], batch["neg_ids"]])
             mask = jnp.concatenate([batch["pos_mask"], batch["neg_mask"]])
             labels = jnp.concatenate([batch["pos_labels"], batch["neg_labels"]])
-            ce_all, first = _ce_and_first_logits(
+            ce_all, ce_tok, first = _ce_with_tokens(
                 params, model_cfg, ids, mask, labels, key if dropout else None
             )
             pce, nce = ce_all[:B], ce_all[B:]
             p_first, n_first = first[:B], first[B:]
             if loss == "pair":
                 main = jnp.mean(pce) + jnp.mean(nce)
-                ce = (pce + nce) / 2.0
+                # per-token curriculum signals (see docstring)
+                sig_p = ce_tok[:B].reshape(-1)
+                sig_n = ce_tok[B:].reshape(-1)
+                sig_ce = (sig_p + sig_n) / 2.0
             else:
-                ce = lce_ce(pce, nce, n, use_mean)
-                main = jnp.mean(ce)
-            return main, (pce, nce, ce, p_first, n_first)
+                sig_ce = lce_ce(pce, nce, n, use_mean)
+                main = jnp.mean(sig_ce)
+                sig_p, sig_n = pce, nce
+            return main, (pce, nce, sig_p, sig_n, sig_ce, p_first, n_first)
 
         (main_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        pce, nce, ce, p_first, n_first = aux
+        pce, nce, sig_p, sig_n, sig_ce, p_first, n_first = aux
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -104,9 +131,9 @@ def make_train_step(
         n_prob = relevance_probs(n_first, rel_id, nrel_id)
         n_prob_first = n_prob.reshape(-1, n)[:, 0] if n > 1 else n_prob
         signals = StepSignals(
-            pce=pce,
-            nce=nce if loss == "pair" else jnp.mean(nce.reshape(-1, n), axis=1),
-            ce=ce,
+            pce=sig_p,
+            nce=sig_n if loss == "pair" else jnp.mean(nce.reshape(-1, n), axis=1),
+            ce=sig_ce,
             success=(p_prob > n_prob_first).astype(jnp.float32),
         )
         curriculum = controller.update(state.curriculum, signals)
