@@ -123,16 +123,19 @@ class EtaController:
         )
 
     def difficulty(self, state: EtaState) -> jax.Array:
-        # ChangeDifficulty caps at 1-1e-10 (lceT5.py:79); harmless for the
-        # clamped EtaWrapper variant too.
-        d = jnp.clip(state.eta, 0.0, 1.0 - 1e-10)
         if self.kind == "eta":
-            # EtaWrapper's train loop starts at difficulty 0.0 and only
-            # assigns difficulty = eta AFTER the first step
-            # (old/eta_bound.py:125,164); the LCE module starts at eta
-            # (lceT5.py:113).
-            return jnp.where(state.step == 0, 0.0, d)
-        return d
+            # EtaWrapper: difficulty = eta exactly (can reach 1.0 — the
+            # clamp is [eta_min, 1.0], old/eta_bound.py:35); the train loop
+            # starts at difficulty 0.0 and only assigns difficulty = eta
+            # AFTER the first step (old/eta_bound.py:125,164).
+            return jnp.where(state.step == 0, 0.0, jnp.clip(state.eta, 0.0, 1.0))
+        # LCE: ChangeDifficulty caps at 1-1e-10 (lceT5.py:79). In the
+        # reference's float64 host math the cap keeps floor(d * (P-1)) at
+        # P-2, i.e. the capped regime never reaches the single hardest pool
+        # slot. 1-1e-10 is NOT fp32-representable (rounds to exactly 1.0,
+        # which WOULD reach slot P-1), so we cap at 1-1e-6 — the fp32-safe
+        # value with the same floor semantics for every pool size < ~300k.
+        return jnp.clip(state.eta, 0.0, 1.0 - 1e-6)
 
     def _objective(self, eta, signals: StepSignals) -> jax.Array:
         s = 1.0 / self.ce_scale

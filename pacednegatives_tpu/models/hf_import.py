@@ -40,7 +40,11 @@ def config_from_hf(hf_config: Any) -> T5Config:
 
 
 def _t(x) -> np.ndarray:
-    return np.asarray(x.detach().cpu().numpy(), dtype=np.float32)
+    # copy=True: tensor.numpy() SHARES the torch storage, and np.asarray of an
+    # already-fp32 buffer is zero-copy too — without the copy, the returned
+    # pytree silently tracks any subsequent in-place torch training (bit us in
+    # tests that run a torch oracle loop on the same live model).
+    return np.array(x.detach().cpu().numpy(), dtype=np.float32, copy=True)
 
 
 def params_from_hf_state_dict(sd: Mapping[str, Any], cfg: T5Config) -> dict:

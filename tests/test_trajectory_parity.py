@@ -1,0 +1,338 @@
+"""N-step TRAINER trajectory parity vs literal torch ports of the reference.
+
+Beyond per-component oracles (test_reference_parity.py), these run the whole
+control loop on both stacks — identical tiny-T5 weights (converted through
+models/hf_import), identical synthetic token data, identical hyperparameters —
+and assert the per-step (loss, meta_loss, eta, difficulty) trajectories match:
+
+- torch_eta_loop: line-by-line port of EtaWrapper.train
+  (reference old/eta_bound.py:120-174 with meta_loop:60-93 / main_loop:95-118
+  and the EtaWeights function, weights.py:36-45): 4 forwards/step, Adam on
+  eta with HF linear schedule, clamp [1e-10, 1], legacy-AdamW main opt,
+  difficulty starts at 0.0 then tracks eta, negative = pool[floor(d * (P-1))]
+  (dataloader.py:29-33).
+
+- torch_lce_loop: port of LCEModel.training_step (reference lceT5.py:125-168)
+  with LCEWeights (lceT5.py:82-99), two AdamW optimizers (lceT5.py:170-182),
+  NO eta clamp, difficulty = min(1-1e-10, eta) (ChangeDifficulty,
+  lceT5.py:77-80). Labels are single-token here because the reference's
+  ``nce.view(-1, n)`` regrouping (lceT5.py:119) only lines up
+  (example, negative) pairs when L_label == 1; with the 2-token labels it
+  interleaves tokens across negatives — a reference quirk we deliberately do
+  not reproduce (per-example aggregation is the documented semantics).
+
+Our side is the REAL production path: make_train_step (fused single gradient
+pass, train/step.py) + EtaController (curriculum/eta.py), jitted, with
+negative selection through ops.sampling.difficulty_to_index.
+
+Tolerances are fp32-trajectory tolerances: both stacks accumulate rounding
+differently (one fused pass vs four separate forwards), so per-step values
+drift at ~1e-5 and compound through the optimizers; 5e-3 relative over 10
+steps is far below any behavioral difference (a wrong objective, schedule
+offset, or clamp diverges the eta path by >1e-1 within a few steps).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from pacednegatives_tpu.curriculum import EtaController
+from pacednegatives_tpu.models.hf_import import config_from_hf, params_from_hf_state_dict
+from pacednegatives_tpu.ops.sampling import difficulty_to_index
+from pacednegatives_tpu.train import init_train_state, make_optimizer, make_train_step
+
+REL, NREL, EOS = 3, 4, 1
+
+
+def _hf_model(seed=0, vocab=384):
+    hf_cfg = transformers.T5Config(
+        vocab_size=vocab, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        decoder_start_token_id=0,
+    )
+    torch.manual_seed(seed)
+    model = transformers.T5ForConditionalGeneration(hf_cfg)
+    model.train()  # dropout_rate=0 so train() only affects mode flags
+    return model
+
+
+def _data(n_pairs, pool, L, vocab, seed=7):
+    """Synthetic pre-tokenized prompts: pos (N, L), negatives (N, pool, L).
+    All-ones masks so padding semantics can't mask trajectory differences."""
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(5, vocab, size=(n_pairs, L)).astype(np.int64)
+    neg = rng.integers(5, vocab, size=(n_pairs, pool, L)).astype(np.int64)
+    return pos, neg
+
+
+def _hf_linear(opt, warmup, total):
+    def lam(s):
+        if s < warmup:
+            return s / max(1, warmup)
+        return max(0.0, (total - s) / max(1, total - warmup))
+
+    return torch.optim.lr_scheduler.LambdaLR(opt, lam)
+
+
+def _per_token_ce(model, ids, labels):
+    logits = model(input_ids=torch.tensor(ids), labels=torch.tensor(labels)).logits
+    loss_fn = torch.nn.CrossEntropyLoss(ignore_index=-100, reduction="none")
+    return loss_fn(logits.view(-1, logits.size(-1)), torch.tensor(labels).view(-1)), logits
+
+
+# ---------------------------------------------------------------------------
+# EtaWrapper (old/eta_bound.py)
+# ---------------------------------------------------------------------------
+
+
+def torch_eta_loop(model, pos, neg, steps, bs, lr, meta_lr, warmup, total, eta0):
+    eta = torch.nn.Parameter(torch.tensor([eta0]))
+    meta_opt = torch.optim.Adam([eta], lr=meta_lr)  # old/eta_bound.py:49
+    # legacy transformers.AdamW == torch AdamW(eps=1e-6, wd=0) (pairwrapper.py:54)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, eps=1e-6, weight_decay=0.0)
+    sched = _hf_linear(opt, warmup, total)
+    meta_sched = _hf_linear(meta_opt, warmup, total)
+
+    pool = neg.shape[1]
+    o_p = np.tile([[REL, EOS]], (bs, 1))
+    o_n = np.tile([[NREL, EOS]], (bs, 1))
+    difficulty = 0.0  # old/eta_bound.py:125
+    traj = []
+    for j in range(steps):
+        rows = np.arange(j * bs, (j + 1) * bs)
+        slot = int(np.floor(difficulty * (pool - 1)))  # dataloader.py:29-33
+        px, nx = pos[rows], neg[rows, slot]
+
+        # --- meta_loop (old/eta_bound.py:60-93)
+        with torch.no_grad():
+            pce, _ = _per_token_ce(model, px, o_p)
+            nce, _ = _per_token_ce(model, nx, o_n)
+        pce, nce = pce.detach(), nce.detach()
+        ce = (pce + nce) / 2
+        # EtaWeights.forward, weights.py:36-45 (mask == 0)
+        v = torch.where(ce > eta, torch.zeros_like(ce) * eta, (-ce / eta) + 1)
+        weighted = (pce * v).mean() + (nce * v).mean() - v.sum()
+        weighted.backward()
+        meta_opt.step()
+        meta_opt.zero_grad()
+        with torch.no_grad():  # EtaWeights clamp: min=1e-10, max=1 (:35)
+            eta.clamp_(1e-10, 1.0)
+        meta_sched.step()
+
+        # --- main_loop (old/eta_bound.py:95-118): fresh forwards, same batch
+        pce2, _ = _per_token_ce(model, px, o_p)
+        nce2, _ = _per_token_ce(model, nx, o_n)
+        loss = pce2.mean() + nce2.mean()
+        loss.backward()
+        opt.step()
+        sched.step()
+        opt.zero_grad()
+
+        traj.append(
+            dict(loss=float(loss.detach()), meta_loss=float(weighted.detach()),
+                 eta=float(eta.detach()), difficulty=difficulty, slot=slot)
+        )
+        difficulty = float(eta.detach())  # old/eta_bound.py:164
+    return traj
+
+
+def ours_eta_loop(params, cfg, pos, neg, steps, bs, lr, meta_lr, warmup, total, eta0):
+    ctrl = EtaController(
+        eta0=eta0, meta_lr=meta_lr, warmup_steps=warmup, total_steps=total,
+        kind="eta", objective="self_paced", eta_min=1e-10, eta_max=1.0,
+    )
+    tx = make_optimizer(lr=lr, total_steps=total, warmup_steps=warmup,
+                        grad_clip=None)  # EtaWrapper has no grad clipping
+    step = jax.jit(
+        make_train_step(cfg, ctrl, tx, loss="pair", rel_id=REL, nrel_id=NREL)
+    )
+    state = init_train_state(params, tx, ctrl.init())
+
+    pool = neg.shape[1]
+    o_p = np.tile([[REL, EOS]], (bs, 1)).astype(np.int32)
+    o_n = np.tile([[NREL, EOS]], (bs, 1)).astype(np.int32)
+    ones = np.ones((bs, pos.shape[1]), np.int32)
+    traj = []
+    for j in range(steps):
+        difficulty = float(ctrl.difficulty(state.curriculum))
+        rows = np.arange(j * bs, (j + 1) * bs)
+        slot = int(difficulty_to_index(difficulty, pool))
+        batch = {
+            "pos_ids": jnp.asarray(pos[rows].astype(np.int32)),
+            "pos_mask": jnp.asarray(ones),
+            "pos_labels": jnp.asarray(o_p),
+            "neg_ids": jnp.asarray(neg[rows, slot].astype(np.int32)),
+            "neg_mask": jnp.asarray(ones),
+            "neg_labels": jnp.asarray(o_n),
+        }
+        state, m = step(state, batch)
+        traj.append(
+            dict(loss=float(m["loss"]), meta_loss=float(m["meta_loss"]),
+                 eta=float(m["eta"]), difficulty=difficulty, slot=slot)
+        )
+    return traj
+
+
+def test_eta_wrapper_full_loop_trajectory():
+    # vocab/lr chosen so the loop leaves the saturated regime inside the test
+    # horizon: EOS/verbalizer token CE drops below eta within ~5 steps, the
+    # self-paced objective gets gradient, and eta traverses 0.5 -> ~0.94
+    # (pool slot 0 -> 10) — a genuinely PACED trajectory, not a frozen one.
+    steps, bs, pool, L = 30, 4, 12, 10
+    lr, meta_lr, warmup, total, eta0 = 1e-2, 0.05, 2, steps, 0.5
+    vocab = 48
+    model = _hf_model(vocab=vocab)
+    cfg = config_from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    pos, neg = _data(steps * bs, pool, L, vocab)
+
+    want = torch_eta_loop(model, pos, neg, steps, bs, lr, meta_lr, warmup, total, eta0)
+    got = ours_eta_loop(params, cfg, pos, neg, steps, bs, lr, meta_lr, warmup, total, eta0)
+
+    for k in ("loss", "meta_loss", "eta", "difficulty"):
+        w = np.array([t[k] for t in want])
+        g = np.array([t[k] for t in got])
+        np.testing.assert_allclose(g, w, rtol=5e-3, atol=5e-3, err_msg=k)
+    # identical negatives drawn every step (the feedback loop agreed)
+    assert [t["slot"] for t in got] == [t["slot"] for t in want]
+    # the trajectory is non-trivial: eta moved and so did the pool slot
+    etas = [t["eta"] for t in want]
+    assert max(etas) - min(etas) > 1e-3
+    assert len({t["slot"] for t in want}) > 1
+
+
+# ---------------------------------------------------------------------------
+# LCEModel (lceT5.py:125-168)
+# ---------------------------------------------------------------------------
+
+
+def torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0):
+    eta = torch.nn.Parameter(torch.tensor([eta0]))
+    # lceT5.py:170-182: BOTH optimizers are (legacy) AdamW; no clamp anywhere
+    meta_opt = torch.optim.AdamW([eta], lr=meta_lr, eps=1e-6, weight_decay=0.0)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, eps=1e-6, weight_decay=0.0)
+    meta_sched = _hf_linear(meta_opt, warmup, total)
+    sched = _hf_linear(opt, warmup, total)
+
+    pool = neg.shape[1]
+    o_p = np.tile([[REL]], (bs, 1))  # single-token labels (see module doc)
+    o_n = np.tile([[NREL]], (bs * n, 1))
+    loss_fn = torch.nn.CrossEntropyLoss(ignore_index=-100, reduction="none")
+
+    def pair_loss(plog, nlog, op, on):  # lceT5.py:116-123
+        pce = loss_fn(plog.view(-1, plog.size(-1)), torch.tensor(op).view(-1))
+        nce = loss_fn(nlog.view(-1, nlog.size(-1)), torch.tensor(on).view(-1))
+        nce = nce.view(-1, n)
+        return pce + nce.mean(dim=1)
+
+    n_pairs = pos.shape[0]
+    difficulty = float(eta.detach())  # lceT5.py:114
+    traj = []
+    for j in range(steps):
+        # recycle a small pair set (epochs) so per-example CE can memorize
+        # its way below eta inside the test horizon
+        rows = np.arange(j * bs, (j + 1) * bs) % n_pairs
+        w = min(1 - 1e-10, difficulty)  # ChangeDifficulty, lceT5.py:77-80
+        base = int(np.floor(w * (pool - 1)))
+        slots = np.clip(np.arange(n) + base, 0, pool - 1)
+        px = pos[rows]
+        nx = neg[rows][:, slots].reshape(bs * n, -1)
+
+        with torch.no_grad():  # lceT5.py:131-135
+            plog = model(input_ids=torch.tensor(px), labels=torch.tensor(o_p)).logits
+            nlog = model(input_ids=torch.tensor(nx), labels=torch.tensor(o_n)).logits
+        loss_vec = pair_loss(plog, nlog, o_p, o_n)
+        # LCEWeights.forward (lceT5.py:91-99)
+        v = torch.where(loss_vec > eta, torch.zeros_like(loss_vec) * eta, loss_vec / eta)
+        meta_loss = (v * loss_vec).mean()
+        meta_opt.zero_grad()
+        meta_loss.backward()
+        meta_opt.step()
+        meta_sched.step()
+
+        plog = model(input_ids=torch.tensor(px), labels=torch.tensor(o_p)).logits
+        nlog = model(input_ids=torch.tensor(nx), labels=torch.tensor(o_n)).logits
+        main = pair_loss(plog, nlog, o_p, o_n).mean()
+        opt.zero_grad()
+        main.backward()
+        opt.step()
+        sched.step()
+
+        traj.append(dict(loss=float(main.detach()), meta_loss=float(meta_loss.detach()),
+                         eta=float(eta.detach()), difficulty=w, base=base))
+        difficulty = float(eta.detach())  # lceT5.py:167
+    return traj
+
+
+def ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0):
+    ctrl = EtaController(
+        eta0=eta0, meta_lr=meta_lr, warmup_steps=warmup, total_steps=total,
+        kind="lce", objective="weighted_ce", optimizer="adamw", clamp=False,
+    )
+    tx = make_optimizer(lr=lr, total_steps=total, warmup_steps=warmup, grad_clip=None)
+    step = jax.jit(
+        make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
+                        use_mean=True, rel_id=REL, nrel_id=NREL)
+    )
+    state = init_train_state(params, tx, ctrl.init())
+
+    pool = neg.shape[1]
+    o_p = np.tile([[REL]], (bs, 1)).astype(np.int32)
+    o_n = np.tile([[NREL]], (bs * n, 1)).astype(np.int32)
+    ones_p = np.ones((bs, pos.shape[1]), np.int32)
+    ones_n = np.ones((bs * n, pos.shape[1]), np.int32)
+    n_pairs = pos.shape[0]
+    traj = []
+    for j in range(steps):
+        w = float(ctrl.difficulty(state.curriculum))
+        rows = np.arange(j * bs, (j + 1) * bs) % n_pairs
+        base = int(difficulty_to_index(w, pool))
+        slots = np.clip(np.arange(n) + base, 0, pool - 1)
+        batch = {
+            "pos_ids": jnp.asarray(pos[rows].astype(np.int32)),
+            "pos_mask": jnp.asarray(ones_p),
+            "pos_labels": jnp.asarray(o_p),
+            "neg_ids": jnp.asarray(neg[rows][:, slots].reshape(bs * n, -1).astype(np.int32)),
+            "neg_mask": jnp.asarray(ones_n),
+            "neg_labels": jnp.asarray(o_n),
+        }
+        state, m = step(state, batch)
+        traj.append(dict(loss=float(m["loss"]), meta_loss=float(m["meta_loss"]),
+                         eta=float(m["eta"]), difficulty=w, base=base))
+    return traj
+
+
+def test_lce_model_full_loop_trajectory():
+    # small recycled pair set: per-example LCE ce memorizes below eta within
+    # the horizon, so the LCEWeights feedback activates (eta rises, difficulty
+    # = min(1-1e-10, eta) follows) instead of staying frozen at eta0
+    steps, bs, n, pool, L = 30, 3, 2, 10, 9
+    lr, meta_lr, warmup, total, eta0 = 1e-2, 0.05, 2, steps, 0.9
+    vocab = 48
+    model = _hf_model(seed=1, vocab=vocab)
+    cfg = config_from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    pos, neg = _data(4 * bs, pool, L, vocab, seed=9)
+
+    want = torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0)
+    got = ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0)
+
+    # eta/difficulty (the control path) must track for the whole run; the
+    # loss channels are compared over the first 20 steps — past ~step 22 the
+    # pair set is fully memorized, losses sit at ~0.1, and fp32 trajectory
+    # chaos (not semantics) dominates the relative error. The eta feedback
+    # ACTIVATES around step 16, so the compared window covers frozen,
+    # activation, and early-pacing phases.
+    for k, upto in (("loss", 20), ("meta_loss", 20), ("eta", steps), ("difficulty", steps)):
+        w = np.array([t[k] for t in want])[:upto]
+        g = np.array([t[k] for t in got])[:upto]
+        np.testing.assert_allclose(g, w, rtol=5e-3, atol=5e-3, err_msg=k)
+    assert [t["base"] for t in got] == [t["base"] for t in want]
+    etas = [t["eta"] for t in want]
+    assert max(etas) - min(etas) > 1e-3
