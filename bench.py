@@ -92,6 +92,7 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     step = make_train_step(
         cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
         rel_id=tok.true_id, nrel_id=tok.false_id,
+        microbatches=int(os.environ.get("BENCH_MICROBATCH", "1")),
     )
     fused = make_fused_step(dc, step, ctrl, loss="lce", n_neg_per_example=n)
     state = init_train_state(params, tx, ctrl.init())

@@ -14,10 +14,10 @@
 //   Bo1 (Bose-Einstein), KL (Kullback-Leibler), RM3 (relevance model,
 //   Dirichlet-smoothed, interpolated with the original query).
 //
-// Tokenization: lowercase, split on non-alphanumeric. No stemming (the
-// reference's Terrier indexes are stemmed; documented divergence — scores
-// are used for *ordering pools*, where unstemmed BM25 is a faithful
-// difficulty axis).
+// Tokenization: lowercase, split on non-alphanumeric, then (flag-gated,
+// default on from the Python wrapper) classic Porter stemming — matching
+// the reference's *stemmed* Terrier/PISA indexes
+// (utilities/compute_all_bm25.py:26-27 `terrier_stemmed`, eval.py:12).
 
 #include <algorithm>
 #include <cctype>
@@ -28,6 +28,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "porter.h"
+
 namespace {
 
 struct Posting {
@@ -36,6 +38,7 @@ struct Posting {
 };
 
 struct Index {
+  bool stem = false;
   std::unordered_map<std::string, int32_t> dict;
   std::vector<std::vector<Posting>> postings;  // term -> postings
   std::vector<std::vector<Posting>> fwd;       // doc -> (term, tf) vector
@@ -51,19 +54,24 @@ struct Index {
   int32_t n_docs() const { return int32_t(doc_len.size()); }
 };
 
-void tokenize(const char* text, std::vector<std::string>& out) {
+void tokenize(const char* text, bool stem, std::vector<std::string>& out) {
   out.clear();
   std::string cur;
+  auto flush = [&]() {
+    if (cur.empty()) return;
+    if (stem) porter::stem(cur);
+    out.push_back(cur);
+    cur.clear();
+  };
   for (const char* p = text; *p; ++p) {
     unsigned char c = (unsigned char)*p;
     if (std::isalnum(c)) {
       cur.push_back((char)std::tolower(c));
-    } else if (!cur.empty()) {
-      out.push_back(cur);
-      cur.clear();
+    } else {
+      flush();
     }
   }
-  if (!cur.empty()) out.push_back(cur);
+  flush();
 }
 
 // term -> weight map for (possibly expanded) queries
@@ -134,7 +142,7 @@ int topk_from_acc(const std::vector<double>& acc, int k, int32_t* out_ids,
 
 WeightedQuery parse_query(Index& ix, const char* text, bool create_terms) {
   std::vector<std::string> toks;
-  tokenize(text, toks);
+  tokenize(text, ix.stem, toks);
   std::unordered_map<int32_t, double> w;
   for (auto& t : toks) {
     auto it = ix.dict.find(t);
@@ -221,14 +229,20 @@ WeightedQuery expand_query(const Index& ix, const WeightedQuery& orig,
 
 extern "C" {
 
-void* lex_create() { return new Index(); }
+// stem != 0 applies classic Porter stemming to documents AND queries
+// (Terrier termpipeline parity; see porter.h).
+void* lex_create(int stem) {
+  Index* ix = new Index();
+  ix->stem = stem != 0;
+  return ix;
+}
 
 void lex_free(void* h) { delete static_cast<Index*>(h); }
 
 void lex_add_doc(void* h, const char* text) {
   Index& ix = *static_cast<Index*>(h);
   std::vector<std::string> toks;
-  tokenize(text, toks);
+  tokenize(text, ix.stem, toks);
   int32_t doc = ix.n_docs();
   std::unordered_map<int32_t, int32_t> tf;
   for (auto& t : toks) {
@@ -253,6 +267,18 @@ void lex_add_doc(void* h, const char* text) {
   }
   ix.doc_len.push_back(int32_t(toks.size()));
   ix.total_len += int64_t(toks.size());
+}
+
+// Stem one lowercase token into out (cap bytes incl. NUL); returns the
+// stemmed length. Exposed so tests can cross-validate the C++ stemmer
+// against the Python twin word-for-word.
+int lex_stem(const char* word, char* out, int cap) {
+  std::string w(word);
+  porter::stem(w);
+  int n = int(std::min<size_t>(w.size(), size_t(cap > 0 ? cap - 1 : 0)));
+  std::memcpy(out, w.data(), n);
+  out[n] = '\0';
+  return n;
 }
 
 int lex_num_docs(void* h) { return static_cast<Index*>(h)->n_docs(); }

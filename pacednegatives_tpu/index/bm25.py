@@ -42,7 +42,12 @@ def _load_lib():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    lib.lex_create.argtypes = [ctypes.c_int]
     lib.lex_create.restype = ctypes.c_void_p
+    lib.lex_stem.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.lex_stem.restype = ctypes.c_int
     lib.lex_free.argtypes = [ctypes.c_void_p]
     lib.lex_add_doc.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.lex_num_docs.argtypes = [ctypes.c_void_p]
@@ -83,16 +88,36 @@ def _tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def native_stem(word: str) -> str | None:
+    """Stem one token with the C++ Porter implementation (None if the
+    native library is unavailable). Test/cross-validation hook."""
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(max(len(word) * 2, 64))
+    lib.lex_stem(word.encode("utf-8", "ignore"), buf, len(buf))
+    return buf.value.decode("utf-8")
+
+
 class _PyIndex:
     """NumPy fallback: BM25 only, no query expansion."""
 
-    def __init__(self):
+    def __init__(self, stem: bool = True):
         self.docs: list[Counter] = []
         self.df: Counter = Counter()
         self.doc_len: list[int] = []
+        self.stem = stem
+
+    def _toks(self, text: str) -> list[str]:
+        toks = _tokenize(text)
+        if self.stem:
+            from pacednegatives_tpu.index.porter import stem
+
+            toks = [stem(t) for t in toks]
+        return toks
 
     def add(self, text: str):
-        tf = Counter(_tokenize(text))
+        tf = Counter(self._toks(text))
         self.docs.append(tf)
         self.doc_len.append(sum(tf.values()))
         for t in tf:
@@ -101,7 +126,7 @@ class _PyIndex:
     def search(self, query: str, k: int, k1: float, b: float):
         N = len(self.docs)
         avgdl = max(np.mean(self.doc_len), 1e-9) if self.doc_len else 1.0
-        q = Counter(_tokenize(query))
+        q = Counter(self._toks(query))
         scores = np.zeros(N)
         for t, qw in q.items():
             df = self.df.get(t, 0)
@@ -123,20 +148,30 @@ class LexicalIndex:
 
     doc positions are row indices into the ``texts`` used to build it (align
     with TextCorpus.doc_ids).
+
+    stem=True (default) applies classic Porter stemming to documents and
+    queries — matching the reference's stemmed Terrier/PISA indexes
+    (compute_all_bm25.py:26-27 ``terrier_stemmed``, eval.py:12).
     """
 
-    def __init__(self, use_native: bool | None = None):
+    def __init__(self, use_native: bool | None = None, stem: bool = True):
         lib = _lib() if use_native in (None, True) else None
         if use_native is True and lib is None:
             raise RuntimeError("native lexical library unavailable")
         self._lib = lib
-        self._h = lib.lex_create() if lib else None
-        self._py = None if lib else _PyIndex()
+        self._h = lib.lex_create(1 if stem else 0) if lib else None
+        self._py = None if lib else _PyIndex(stem)
+        self.stem = stem
         self.num_docs = 0
 
     @classmethod
-    def build(cls, texts: Sequence[str], use_native: bool | None = None):
-        ix = cls(use_native)
+    def build(
+        cls,
+        texts: Sequence[str],
+        use_native: bool | None = None,
+        stem: bool = True,
+    ):
+        ix = cls(use_native, stem=stem)
         for t in texts:
             ix.add_doc(t)
         return ix

@@ -90,6 +90,10 @@ class RunConfig:
     encode_batch: int = 128
     quantize_index: bool = False  # int8 online-mining index
     grad_accum_steps: int = 1
+    # >1: split each batch into k microbatches inside ONE optimizer step
+    # (grad accumulation via lax.scan) — activation memory / k with zero
+    # recompute; the TPU-native alternative to remat at long seq lengths
+    microbatches: int = 1
     # loop
     out_dir: str = "runs/out"
     chunk_size: int = 16
@@ -460,7 +464,7 @@ def run(cfg: RunConfig) -> dict:
         step = make_train_step(
             mcfg, controller, tx, loss=loss_kind, n_neg_per_example=n,
             use_mean=cfg.use_mean, rel_id=tok.true_id, nrel_id=tok.false_id,
-            dropout=cfg.dropout,
+            dropout=cfg.dropout, microbatches=cfg.microbatches,
         )
         state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
         state = _maybe_resume(cfg, state)

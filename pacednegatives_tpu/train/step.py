@@ -69,6 +69,7 @@ def make_train_step(
     rel_id: int = 3,
     nrel_id: int = 4,
     dropout: bool = False,
+    microbatches: int = 1,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build step(state, batch) -> (state, metrics).
 
@@ -81,33 +82,44 @@ def make_train_step(
     assembly emits fully-valid 2-token labels).
     loss="lce": main = mean(pce + agg_n nce); curriculum ce = the same
     per-example vector (lceT5.py:116-123,131-135).
+
+    microbatches=k>1 splits the batch into k equal example slices and
+    lax.scan's fwd+bwd over them, accumulating gradients — one optimizer
+    update and one curriculum update per step, mathematically identical to
+    k=1 (equal slice sizes make mean-of-means exact), but with activation
+    memory divided by k. This is the TPU-native alternative to per-block
+    rematerialization at long sequence lengths: grad-accum trades HBM for
+    *zero* recompute FLOPs where remat trades it for an extra forward.
     """
     if loss not in ("pair", "lce"):
         raise ValueError(loss)
     n = n_neg_per_example
+    k = microbatches
 
     def step(state: TrainState, batch: Batch) -> tuple[TrainState, dict]:
         key, new_key = jax.random.split(state.key)
+        B = batch["pos_ids"].shape[0]
 
-        def loss_fn(params):
+        def loss_fn(params, pos_ids, pos_mask, pos_labels, neg_ids, neg_mask,
+                    neg_labels, dkey):
             # ONE forward over [positives; negatives] — prompts share their
             # shape, so concatenation turns two half-utilized encoder passes
             # (B and B*n rows) into a single (B*(1+n), L) pass that tiles the
             # MXU better and halves kernel-launch overhead.
-            B = batch["pos_ids"].shape[0]
-            ids = jnp.concatenate([batch["pos_ids"], batch["neg_ids"]])
-            mask = jnp.concatenate([batch["pos_mask"], batch["neg_mask"]])
-            labels = jnp.concatenate([batch["pos_labels"], batch["neg_labels"]])
+            b = pos_ids.shape[0]
+            ids = jnp.concatenate([pos_ids, neg_ids])
+            mask = jnp.concatenate([pos_mask, neg_mask])
+            labels = jnp.concatenate([pos_labels, neg_labels])
             ce_all, ce_tok, first = _ce_with_tokens(
-                params, model_cfg, ids, mask, labels, key if dropout else None
+                params, model_cfg, ids, mask, labels, dkey if dropout else None
             )
-            pce, nce = ce_all[:B], ce_all[B:]
-            p_first, n_first = first[:B], first[B:]
+            pce, nce = ce_all[:b], ce_all[b:]
+            p_first, n_first = first[:b], first[b:]
             if loss == "pair":
                 main = jnp.mean(pce) + jnp.mean(nce)
                 # per-token curriculum signals (see docstring)
-                sig_p = ce_tok[:B].reshape(-1)
-                sig_n = ce_tok[B:].reshape(-1)
+                sig_p = ce_tok[:b].reshape(-1)
+                sig_n = ce_tok[b:].reshape(-1)
                 sig_ce = (sig_p + sig_n) / 2.0
             else:
                 sig_ce = lce_ce(pce, nce, n, use_mean)
@@ -115,9 +127,50 @@ def make_train_step(
                 sig_p, sig_n = pce, nce
             return main, (pce, nce, sig_p, sig_n, sig_ce, p_first, n_first)
 
-        (main_loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if k <= 1:
+            (main_loss, aux), grads = grad_fn(
+                state.params, batch["pos_ids"], batch["pos_mask"],
+                batch["pos_labels"], batch["neg_ids"], batch["neg_mask"],
+                batch["neg_labels"], key,
+            )
+        else:
+            if B % k:
+                raise ValueError(f"batch {B} not divisible by microbatches {k}")
+            m = B // k
+
+            def split(x, rows):  # (B*rows, ...) -> (k, m*rows, ...)
+                return x.reshape((k, m * rows) + x.shape[1:])
+
+            chunks = (
+                split(batch["pos_ids"], 1), split(batch["pos_mask"], 1),
+                split(batch["pos_labels"], 1), split(batch["neg_ids"], n),
+                split(batch["neg_mask"], n), split(batch["neg_labels"], n),
+                jax.random.split(key, k),
+            )
+
+            def accum(carry, chunk):
+                loss_acc, grads_acc = carry
+                (l_i, aux_i), g_i = grad_fn(state.params, *chunk)
+                carry = (
+                    loss_acc + l_i / k,
+                    jax.tree_util.tree_map(
+                        lambda a, g: a + g / k, grads_acc, g_i
+                    ),
+                )
+                return carry, aux_i
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (main_loss, grads), aux_stack = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zero_grads), chunks
+            )
+            # (k, m*rows) signal stacks -> flat full-batch vectors, restoring
+            # the original example order
+            aux = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), aux_stack
+            )
         pce, nce, sig_p, sig_n, sig_ce, p_first, n_first = aux
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
