@@ -53,11 +53,13 @@ def main(argv=None) -> str:
             for qid, qtext in zip(corpus.query_ids, corpus.query_texts)
         )
     elif method == "dense":
-        # Dense-retrieval pool building (the reference's compute_all_splade
-        # analogue, utilities/compute_all_splade.py:28-30, with our dual
-        # encoder instead of SPLADE): encode corpus + queries with a trained
-        # run's model, MIPS top-k on the accelerator.
+        # Dense-retrieval pool building: encode corpus + queries with a
+        # trained run's model, MIPS top-k on the accelerator.
         pools_iter = _dense_pools(args, corpus, cutoff)
+    elif method == "splade":
+        # Learned-sparse pool building (compute_all_splade.py:28-30 parity):
+        # SPLADE vocab-space encoder -> quantized impact index -> top-k.
+        pools_iter = _splade_pools(args, corpus, cutoff)
     else:
         raise SystemExit(f"unknown method {method}")
 
@@ -115,6 +117,47 @@ def _dense_pools(args: dict, corpus, cutoff: int):
         idx = np.asarray(idx)
         for row, qid in enumerate(corpus.query_ids[s:e]):
             yield qid, idx[row]
+
+
+def _splade_pools(args: dict, corpus, cutoff: int):
+    """SPLADE-style learned-sparse pools: the reranker encoder's vocab-space
+    activations (models/splade.py) feed a quantized impact index
+    (index/sparse.py) — the in-repo equivalent of the reference's SPLADE
+    query encoder over a PISA quantized index."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from pacednegatives_tpu.data import TokenizedStore
+    from pacednegatives_tpu.index.sparse import SparseIndex
+    from pacednegatives_tpu.models.splade import encode_corpus_sparse
+    from pacednegatives_tpu.train.runner import load_run
+
+    run_dir = args.get("run")
+    if not run_dir:
+        raise SystemExit("--method splade needs --run <trained run dir>")
+    params, mcfg, tok, rc = load_run(run_dir)
+    store = TokenizedStore.build(
+        corpus, tok, max_q_tokens=rc.max_q_tokens, max_d_tokens=rc.max_d_tokens
+    )
+    topk_terms = int(args.get("splade_terms", 128))
+    batch = int(args.get("encode_batch", 64))
+    d_w, d_t = encode_corpus_sparse(
+        params, mcfg, jnp.asarray(store.d_tokens), jnp.asarray(store.d_mask),
+        k=topk_terms, batch_size=batch,
+    )
+    index = SparseIndex.build(
+        np.asarray(d_t), np.asarray(d_w), num_terms=mcfg.vocab_size,
+        quantize=args.get("quantize", "1") not in ("0", "false", "False"),
+    )
+    q_w, q_t = encode_corpus_sparse(
+        params, mcfg, jnp.asarray(store.q_tokens), jnp.asarray(store.q_mask),
+        k=topk_terms, batch_size=batch,
+    )
+    q_w, q_t = np.asarray(q_w), np.asarray(q_t)
+    for row, qid in enumerate(corpus.query_ids):
+        ids, _ = index.search(q_t[row], q_w[row], k=min(cutoff, corpus.num_docs))
+        yield qid, ids
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ def hf_config_from(cfg: T5Config) -> Any:
 def state_dict_from_params(params: Any, cfg: T5Config) -> dict:
     import torch
 
+    if "blocks" in params["encoder"]:  # native stacked scan layout
+        from pacednegatives_tpu.models.t5 import unstack_params
+
+        params = unstack_params(params)
+
     t = lambda x: torch.tensor(np.asarray(x, dtype=np.float32))
     sd: dict = {"shared.weight": t(params["shared"]["embedding"])}
 

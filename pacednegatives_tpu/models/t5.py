@@ -542,6 +542,60 @@ def _stack_blocks(blocks: list) -> PyTree:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cleaned)
 
 
+def stack_params(params: PyTree) -> PyTree:
+    """Convert the per-layer ``block_i`` layout to the NATIVE stacked layout:
+    ``{"blocks": <(L, ...) pytree>, "rel_bias": ..., "final_ln": ...}`` per
+    stack. With this layout ``scan_layers`` consumes the arrays directly —
+    no per-trace jnp.stack of every block parameter (the ~9% steady-state
+    scan tax measured in round 1; ROADMAP item 4)."""
+
+    def one(stack: dict, n: int) -> dict:
+        blocks = [stack[f"block_{i}"] for i in range(n)]
+        return {
+            "blocks": _stack_blocks(blocks),
+            "rel_bias": blocks[0]["self_attn"]["rel_bias"],
+            "final_ln": stack["final_ln"],
+        }
+
+    n_enc = len([k for k in params["encoder"] if k.startswith("block_")])
+    n_dec = len([k for k in params["decoder"] if k.startswith("block_")])
+    out = dict(params)
+    out["encoder"] = one(params["encoder"], n_enc)
+    out["decoder"] = one(params["decoder"], n_dec)
+    return out
+
+
+def unstack_params(params: PyTree) -> PyTree:
+    """Inverse of stack_params (for HF export / layout-agnostic tooling)."""
+
+    def one(stack: dict) -> dict:
+        blocks = stack["blocks"]
+        n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        out = {}
+        for i in range(n):
+            blk = jax.tree_util.tree_map(lambda x: x[i], blocks)
+            if i == 0:
+                blk = {
+                    **blk,
+                    "self_attn": {**blk["self_attn"], "rel_bias": stack["rel_bias"]},
+                }
+            out[f"block_{i}"] = blk
+        out["final_ln"] = stack["final_ln"]
+        return out
+
+    out = dict(params)
+    out["encoder"] = one(params["encoder"])
+    out["decoder"] = one(params["decoder"])
+    return out
+
+
+def _rel_bias(stack: dict) -> jax.Array:
+    """Relative-attention bias for a stack, either layout."""
+    if "rel_bias" in stack:
+        return stack["rel_bias"]
+    return stack["block_0"]["self_attn"]["rel_bias"]
+
+
 def _padding_bias(mask: jax.Array) -> jax.Array:
     """(B, L) {0,1} mask -> (B, 1, 1, L) fp32 additive bias."""
     return jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
@@ -577,7 +631,7 @@ def encode(
     x = emb[input_ids]
 
     pos_bias = compute_position_bias(
-        enc["block_0"]["self_attn"]["rel_bias"],
+        _rel_bias(enc),
         L, L, True,
         cfg.relative_attention_num_buckets,
         cfg.relative_attention_max_distance,
@@ -607,8 +661,14 @@ def encode(
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k1, deterministic)
 
-    if cfg.scan_layers:
-        stacked = _stack_blocks([enc[f"block_{i}"] for i in range(cfg.num_layers)])
+    if cfg.scan_layers or "blocks" in enc:
+        # native stacked layout ("blocks" present) feeds scan directly;
+        # legacy block_i layout is stacked inside the trace (≈9% step tax)
+        stacked = (
+            enc["blocks"]
+            if "blocks" in enc
+            else _stack_blocks([enc[f"block_{i}"] for i in range(cfg.num_layers)])
+        )
         use_keys = dropout_key is not None and not deterministic
         layer_keys = (
             jnp.stack([jnp.stack([keys[2 * i], keys[2 * i + 1]]) for i in range(cfg.num_layers)])
@@ -656,7 +716,7 @@ def decode(
 
     self_bias = (
         compute_position_bias(
-            dec["block_0"]["self_attn"]["rel_bias"],
+            _rel_bias(dec),
             Lt, Lt, False,
             cfg.relative_attention_num_buckets,
             cfg.relative_attention_max_distance,
@@ -692,9 +752,13 @@ def decode(
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k2, deterministic)
 
-    if cfg.scan_layers:
-        stacked = _stack_blocks(
-            [dec[f"block_{i}"] for i in range(cfg.num_decoder_layers)]
+    if cfg.scan_layers or "blocks" in dec:
+        stacked = (
+            dec["blocks"]
+            if "blocks" in dec
+            else _stack_blocks(
+                [dec[f"block_{i}"] for i in range(cfg.num_decoder_layers)]
+            )
         )
         use_keys = dropout_key is not None and not deterministic
         layer_keys = (

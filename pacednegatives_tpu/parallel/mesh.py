@@ -137,6 +137,11 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
             p.key if hasattr(p, "key") else str(p) for p in path
         )
         spec = _spec_for(keys)
+        # Native stacked scan layout (models/t5.stack_params): same leaf
+        # names with a leading (num_layers,) dim — replicate that dim and
+        # shift the rule right by one.
+        if len(spec) and leaf.ndim == len(spec) + 1 and "blocks" in keys:
+            spec = P(None, *spec)
         # Divisibility check: fall back to replicated if it doesn't tile.
         axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         for dim, axis in enumerate(spec):

@@ -44,6 +44,9 @@ class RunConfig:
     # lax.scan over layers: ~2x faster compile, ~9% slower steps (measured
     # t5-base on v5e) — use for iteration, not long runs
     scan_layers: bool = False
+    # native (L, ...) stacked parameter layout (implies scan_layers): fast
+    # compile WITHOUT the in-trace restacking tax — see models/t5.stack_params
+    stacked_layers: bool = False
     # "chunked" = exact online-softmax attention (long-sequence memory)
     attention_impl: str = "dense"
     attention_chunk: int = 128
@@ -135,7 +138,7 @@ def _build_model(cfg: RunConfig, tok):
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
-        scan_layers=cfg.scan_layers,
+        scan_layers=cfg.scan_layers or cfg.stacked_layers,
         attention_impl=cfg.attention_impl,
         attention_chunk=cfg.attention_chunk,
     )
@@ -150,6 +153,10 @@ def _build_model(cfg: RunConfig, tok):
     else:
         params, mcfg = load_hf_checkpoint(cfg.model)
         mcfg = dataclasses.replace(mcfg, **kw)
+    if cfg.stacked_layers:
+        from pacednegatives_tpu.models.t5 import stack_params
+
+        params = stack_params(params)
     return params, mcfg
 
 
