@@ -9,10 +9,11 @@ binomial sampling -> pool gather -> prompt concat -> labels — is pure jitted
 gathers/concats on device, so the step function (and the whole training run
 via lax.scan) runs without host synchronization.
 
-Memory: MS MARCO passage (8.8M docs x 180 tokens, int32) is ~6.4GB, which
-fits one v5e HBM (16GB) next to a t5-base; sharding the doc matrix over the
-``data`` mesh axis divides this per chip. uint16 storage would halve it
-again (vocab 32k); kept int32 for gather friendliness until needed.
+Memory: MS MARCO passage (8.8M docs x 180 tokens) stores as int16 when the
+vocab fits 15 bits (t5's 32128 does; compact_tokens=True default) — ~3.2GB,
+fitting one v5e HBM (16GB) next to a t5-base with room for the int8 online
+index; sharding the doc matrix over the ``data`` mesh axis divides this per
+chip. Gathers cast back to int32 in registers (assemble()).
 """
 
 from __future__ import annotations
@@ -34,7 +35,16 @@ from pacednegatives_tpu.ops.sampling import (
 
 @dataclasses.dataclass
 class DeviceCorpus:
-    """Token matrices + triple/pool structure as device arrays."""
+    """Token matrices + triple/pool structure as device arrays.
+
+    Registered as a JAX pytree (arrays = children, ids/flags = static aux)
+    so a corpus can cross a ``jit`` boundary as a runtime ARGUMENT. Closing
+    over the arrays instead would bake them into the HLO as literal
+    constants — at MS MARCO scale that is a multi-hundred-MB computation
+    proto per compile (and a hard failure on remote-compile transports).
+    Loop-level jits (TrainLoop/OnlineMiningLoop/bench) therefore thread the
+    corpus through as an explicit parameter.
+    """
 
     q_tokens: jax.Array  # (Nq, Lq) int32
     q_mask: jax.Array
@@ -158,6 +168,9 @@ class DeviceCorpus:
             ),
         }
 
+    def replace(self, **kw) -> "DeviceCorpus":
+        return dataclasses.replace(self, **kw)
+
     def lce_batch(
         self,
         key: jax.Array,
@@ -195,3 +208,13 @@ class DeviceCorpus:
                 slots.astype(jnp.float32) / max(self.n_neg - 1, 1)
             ).reshape(-1),
         }
+
+
+jax.tree_util.register_dataclass(
+    DeviceCorpus,
+    data_fields=[
+        "q_tokens", "q_mask", "d_tokens", "d_mask",
+        "query_rows", "pos_rows", "pools", "prefix", "mid", "suffix",
+    ],
+    meta_fields=["pad_id", "true_id", "false_id", "eos_id", "use_max"],
+)

@@ -296,10 +296,25 @@ def attention(
     Lk = kv.shape[1]
     H, dk = cfg.num_heads, cfg.d_kv
     dt = cfg.dtype
+    inner = H * dk
 
-    q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt)).reshape(B, Lq, H, dk)
-    k = jnp.einsum("bld,dk->blk", kv, p["k"].astype(dt)).reshape(B, Lk, H, dk)
-    v = jnp.einsum("bld,dk->blk", kv, p["v"].astype(dt)).reshape(B, Lk, H, dk)
+    # Fuse the projections into one wide matmul (q|k|v for self-attention,
+    # k|v for cross): the activations stream from HBM once instead of three
+    # times, and one (M, D)@(D, 3*inner) GEMM beats three (M, D)@(D, inner)
+    # on the MXU. Parameters stay separate (checkpoint layout parity); the
+    # per-layer weight concat is a ~MB-scale transient.
+    if x is kv:
+        w = jnp.concatenate([p["q"], p["k"], p["v"]], axis=1).astype(dt)
+        qkv = jnp.einsum("bld,de->ble", x, w)
+        q, k, v = jnp.split(qkv, 3, axis=2)
+    else:
+        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
+        w = jnp.concatenate([p["k"], p["v"]], axis=1).astype(dt)
+        kvp = jnp.einsum("bld,de->ble", kv, w)
+        k, v = jnp.split(kvp, 2, axis=2)
+    q = q.reshape(B, Lq, H, dk)
+    k = k.reshape(B, Lk, H, dk)
+    v = v.reshape(B, Lk, H, dk)
 
     if cfg.attention_impl == "chunked" and not deterministic:
         raise ValueError(

@@ -183,12 +183,25 @@ class TrainLoop:
     eval_fn: Callable | None = None
     eval_every_steps: int = 0
     exclude_pairs: tuple = ()  # held-out rows never fed to training
+    # When set, the corpus crosses the jit boundary as an ARGUMENT each
+    # chunk instead of a closure constant baked into the HLO (DeviceCorpus
+    # pytree note; required at MS MARCO corpus scale). fused_step must then
+    # accept a third ``corpus`` parameter.
+    corpus: object | None = None
 
     def __post_init__(self):
-        def chunk_fn(state, idx_chunk):
-            return jax.lax.scan(self.fused_step, state, idx_chunk)
+        if self.corpus is not None:
+            def chunk_fn(state, idx_chunk, corpus):
+                body = lambda s, i: self.fused_step(s, i, corpus)
+                return jax.lax.scan(body, state, idx_chunk)
+        else:
+            def chunk_fn(state, idx_chunk, corpus):
+                return jax.lax.scan(self.fused_step, state, idx_chunk)
 
-        self._chunk_fn = jax.jit(chunk_fn, donate_argnums=0)
+        self._jit_chunk = jax.jit(chunk_fn, donate_argnums=0)
+        self._chunk_fn = lambda state, idx: self._jit_chunk(
+            state, idx, self.corpus
+        )
 
     def run(
         self,

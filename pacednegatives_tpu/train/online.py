@@ -35,7 +35,11 @@ import numpy as np
 from pacednegatives_tpu.data.device_corpus import DeviceCorpus
 from pacednegatives_tpu.models import t5
 from pacednegatives_tpu.models.dual_encoder import embed, encode_corpus
-from pacednegatives_tpu.ops.mips import mips_topk_approx, mips_topk_exact
+from pacednegatives_tpu.ops.mips import (
+    mips_topk_approx,
+    mips_topk_exact,
+    mips_topk_pallas_quantized,
+)
 from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
 from pacednegatives_tpu.train.state import TrainState
 
@@ -47,6 +51,12 @@ class OnlineMiningConfig:
     method: str = "exact"  # "exact" | "approx"
     exclude_positive: bool = True
     quantize: bool = False  # int8 index in the scan carry (4x less HBM)
+    # Refresh processes at most this many docs per device execution. One
+    # monolithic program at 1M docs means ~85s of uninterrupted device time
+    # in a single execution (runtime-watchdog territory) and a full-corpus
+    # fp32 embedding transient; slicing bounds both while every slice still
+    # dispatches asynchronously (no host sync between slices).
+    refresh_rows_per_call: int = 262144
 
 
 def make_online_fused_step(
@@ -64,8 +74,13 @@ def make_online_fused_step(
     """
     topk = mips_topk_exact if mining.method == "exact" else mips_topk_approx
     n = n_neg_per_example
+    default_corpus = corpus
 
-    def fused(carry, pair_idx):
+    def fused(carry, pair_idx, corpus=None):
+        # corpus may be threaded in as a jit ARGUMENT by the caller (see
+        # DeviceCorpus pytree note) — falling back to the factory capture
+        # keeps small-corpus call sites unchanged.
+        corpus = default_corpus if corpus is None else corpus
         state, embeddings = carry
         difficulty = controller.difficulty(state.curriculum)
         B = pair_idx.shape[0]
@@ -83,10 +98,18 @@ def make_online_fused_step(
         k = mining.pool_size + (1 if mining.exclude_positive else 0)
         if mining.quantize:
             vals, scales = embeddings
-            docs_fp = vals.astype(jnp.float32) * scales[:, None]
+            if vals.shape[0] % 1024 == 0 and jax.default_backend() == "tpu":
+                # int8 stays in HBM; dequantization fuses into the score
+                # matmul in VMEM (never materializes the fp32 index — at
+                # 1M docs x 512 that transient alone would be 2 GB/step)
+                _, idx = mips_topk_pallas_quantized(
+                    q_emb.astype(jnp.float32), vals, scales, k
+                )
+            else:
+                docs_fp = vals.astype(jnp.float32) * scales[:, None]
+                _, idx = topk(q_emb.astype(jnp.float32), docs_fp, k)
         else:
-            docs_fp = embeddings
-        _, idx = topk(q_emb.astype(jnp.float32), docs_fp, k)
+            _, idx = topk(q_emb.astype(jnp.float32), embeddings, k)
         if mining.exclude_positive:
             # drop the positive if retrieved; else drop the extra last slot
             is_pos = idx == pos_rows[:, None]
@@ -129,12 +152,19 @@ def make_online_fused_step(
 def make_refresh_fn(
     corpus: DeviceCorpus, model_cfg: t5.T5Config, mining: OnlineMiningConfig
 ):
-    """jitted params -> fresh (num_docs, D) corpus embeddings."""
+    """params -> fresh (num_docs, D) corpus embeddings.
+
+    The doc-token matrices enter the jitted program as arguments, not
+    closure constants, so the compiled proto stays small at any corpus
+    scale (see DeviceCorpus pytree note). Large corpora are processed in
+    ``refresh_rows_per_call`` slices — separate asynchronously-dispatched
+    device executions (quantization is per-row, so per-slice quantize is
+    exact), bounding single-execution runtime and the fp32 transient."""
 
     @jax.jit
-    def refresh(params):
+    def refresh_slice(params, d_tokens, d_mask):
         emb = encode_corpus(
-            params, model_cfg, corpus.d_tokens, corpus.d_mask,
+            params, model_cfg, d_tokens, d_mask,
             batch_size=mining.encode_batch,
         )
         if mining.quantize:
@@ -142,6 +172,27 @@ def make_refresh_fn(
 
             return quantize_embeddings(emb)
         return emb
+
+    rows = corpus.d_tokens.shape[0]
+    per = max(min(rows, mining.refresh_rows_per_call), 1)
+
+    def refresh(params):
+        if rows <= per:
+            return refresh_slice(params, corpus.d_tokens, corpus.d_mask)
+        outs = [
+            refresh_slice(
+                params,
+                jax.lax.slice_in_dim(corpus.d_tokens, i, min(i + per, rows)),
+                jax.lax.slice_in_dim(corpus.d_mask, i, min(i + per, rows)),
+            )
+            for i in range(0, rows, per)
+        ]
+        if mining.quantize:
+            return (
+                jnp.concatenate([v for v, _ in outs]),
+                jnp.concatenate([s for _, s in outs]),
+            )
+        return jnp.concatenate(outs)
 
     return refresh
 
@@ -163,12 +214,24 @@ class OnlineMiningLoop:
     checkpoint_every_steps: int = 0
     exclude_pairs: tuple = ()  # held-out rows never fed to training
     log_mode: str = "last"  # "last" | "mean" | "all" (see TrainLoop)
+    # When set, the corpus is threaded through the jit boundary as an
+    # argument each chunk (large-corpus hygiene; fused_step must accept the
+    # third ``corpus`` parameter). None keeps legacy closure capture.
+    corpus: "DeviceCorpus | None" = None
 
     def __post_init__(self):
-        def chunk_fn(carry, idx_chunk):
-            return jax.lax.scan(self.fused_step, carry, idx_chunk)
+        if self.corpus is not None:
+            def chunk_fn(carry, idx_chunk, corpus):
+                body = lambda c, i: self.fused_step(c, i, corpus)
+                return jax.lax.scan(body, carry, idx_chunk)
+        else:
+            def chunk_fn(carry, idx_chunk, corpus):
+                return jax.lax.scan(self.fused_step, carry, idx_chunk)
 
-        self._chunk_fn = jax.jit(chunk_fn, donate_argnums=0)
+        self._jit_chunk = jax.jit(chunk_fn, donate_argnums=0)
+        self._chunk_fn = lambda carry, idx: self._jit_chunk(
+            carry, idx, self.corpus
+        )
 
     def run(self, state: TrainState, total_steps: int, writer=None):
         """Resume note: the data stream and refresh cadence are aligned to

@@ -494,6 +494,7 @@ def run(cfg: RunConfig) -> dict:
             loop = OnlineMiningLoop(
                 fused_step=fused,
                 refresh_fn=make_refresh_fn(dc, mcfg, mining),
+                corpus=dc,
                 num_pairs=len(triples),
                 batch_size=cfg.batch_size,
                 chunk_size=cfg.chunk_size,
@@ -521,6 +522,7 @@ def run(cfg: RunConfig) -> dict:
             )
             loop = TrainLoop(
                 fused_step=fused,
+                corpus=dc,
                 num_pairs=len(triples),
                 batch_size=cfg.batch_size,
                 chunk_size=cfg.chunk_size,

@@ -242,7 +242,12 @@ def make_fused_step(
     lax.scan over pair-index chunks with zero host round trips.
     """
 
-    def fused(state: TrainState, pair_idx: jax.Array):
+    default_corpus = corpus
+
+    def fused(state: TrainState, pair_idx: jax.Array, corpus=None):
+        # corpus may be threaded in as a jit ARGUMENT (DeviceCorpus pytree
+        # note) — the default capture keeps small-corpus call sites working.
+        corpus = default_corpus if corpus is None else corpus
         difficulty = controller.difficulty(state.curriculum)
         key = jax.random.fold_in(state.key, state.step)
         if loss == "lce":
