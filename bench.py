@@ -57,6 +57,8 @@ def build(model_name: str):
         cfg, dtype=jnp.bfloat16, remat=remat, remat_policy=policy,
         attention_impl=attn,
         attention_chunk=int(os.environ.get("BENCH_ATTN_CHUNK", "128")),
+        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
+        flash_kernel=os.environ.get("BENCH_FLASH", "0") == "1",
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation
@@ -93,6 +95,7 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
         rel_id=tok.true_id, nrel_id=tok.false_id,
         microbatches=int(os.environ.get("BENCH_MICROBATCH", "1")),
+        microbatch_unroll=os.environ.get("BENCH_MICROBATCH_UNROLL", "0") == "1",
     )
     fused = make_fused_step(dc, step, ctrl, loss="lce", n_neg_per_example=n)
     state = init_train_state(params, tx, ctrl.init())
@@ -310,12 +313,13 @@ def bench_scale():
     d_tokens *= d_mask
     q_tokens = rng.integers(2, hi, size=(NQ, LQ)).astype(np.int16)
     n_pairs = NQ
+    # masks derived from tokens != pad on device (no (N, L) mask in HBM)
     dc = dataclasses.replace(
         dc,
         d_tokens=jax.device_put(d_tokens),
-        d_mask=jax.device_put(d_mask),
+        d_mask=None,
         q_tokens=jax.device_put(q_tokens),
-        q_mask=jax.device_put(np.ones((NQ, LQ), np.int8)),
+        q_mask=None,
         query_rows=jax.device_put(np.arange(n_pairs, dtype=np.int32)),
         pos_rows=jax.device_put(
             rng.integers(0, N, size=n_pairs).astype(np.int32)
@@ -380,7 +384,7 @@ def bench_scale():
     sync(m["loss"])
     sps = steps / (time.perf_counter() - t0)
 
-    hbm_gb = (d_tokens.nbytes + d_mask.nbytes + N * cfg.d_model + N * 4) / 1e9
+    hbm_gb = (d_tokens.nbytes + N * cfg.d_model + N * 4) / 1e9
     print(json.dumps({
         "phase": "scale",
         "scale_docs": N,

@@ -47,9 +47,14 @@ class DeviceCorpus:
     """
 
     q_tokens: jax.Array  # (Nq, Lq) int32
-    q_mask: jax.Array
+    # masks are DERIVED from tokens != pad by default (None): storing them
+    # costs a full (N, L) int8 matrix (1.6 GB at MS MARCO scale) and an
+    # extra gather per batch for information the token matrix already
+    # carries. Explicit masks remain supported for corpora whose padding
+    # is not representable as a pad-token test.
+    q_mask: jax.Array | None
     d_tokens: jax.Array  # (Nd, Ld) int32
-    d_mask: jax.Array
+    d_mask: jax.Array | None
     query_rows: jax.Array  # (Np,) int32 — per pair
     pos_rows: jax.Array  # (Np,) int32
     pools: jax.Array  # (Np, n_neg) int32
@@ -68,6 +73,7 @@ class DeviceCorpus:
     def build(
         cls, store: TokenizedStore, triples: TripletStore, device=None,
         use_max: bool = False, compact_tokens: bool = True,
+        store_masks: bool = False,
     ) -> "DeviceCorpus":
         put = partial(jax.device_put, device=device)
         t = store.template
@@ -77,11 +83,15 @@ class DeviceCorpus:
         if compact_tokens and max(store.q_tokens.max(initial=0),
                                   store.d_tokens.max(initial=0)) < 2**15:
             tok_dtype = np.int16
+        if not store_masks:
+            # token-derived masks require pad positions to hold pad_id
+            assert (store.q_tokens[store.q_mask == 0] == store.pad_id).all()
+            assert (store.d_tokens[store.d_mask == 0] == store.pad_id).all()
         return cls(
             q_tokens=put(store.q_tokens.astype(tok_dtype)),
-            q_mask=put(store.q_mask.astype(np.int8)),
+            q_mask=put(store.q_mask.astype(np.int8)) if store_masks else None,
             d_tokens=put(store.d_tokens.astype(tok_dtype)),
-            d_mask=put(store.d_mask.astype(np.int8)),
+            d_mask=put(store.d_mask.astype(np.int8)) if store_masks else None,
             query_rows=put(triples.query_rows),
             pos_rows=put(triples.pos_rows),
             pools=put(triples.pools),
@@ -105,27 +115,32 @@ class DeviceCorpus:
     def n_neg(self) -> int:
         return self.pools.shape[1]
 
+    def _masked(self, tokens_i32: jax.Array, mask_table, rows) -> jax.Array:
+        """Mask for gathered tokens: stored table if present, else derived
+        from the already-gathered tokens (no second gather, no stored
+        (N, L) mask matrix)."""
+        if mask_table is not None:
+            return mask_table[rows].astype(jnp.int32)
+        return (tokens_i32 != self.pad_id).astype(jnp.int32)
+
     def assemble(self, q_rows: jax.Array, d_rows: jax.Array):
         """(B,) query rows x (B,) doc rows -> (B, L) ids, mask. Pure gathers."""
         B = q_rows.shape[0]
         tile = lambda seg: jnp.broadcast_to(seg, (B, seg.shape[0]))
         ones = lambda seg: jnp.ones((B, seg.shape[0]), jnp.int32)
+        q_tok = self.q_tokens[q_rows].astype(jnp.int32)
+        d_tok = self.d_tokens[d_rows].astype(jnp.int32)
         ids = jnp.concatenate(
-            [
-                tile(self.prefix),
-                self.q_tokens[q_rows].astype(jnp.int32),
-                tile(self.mid),
-                self.d_tokens[d_rows].astype(jnp.int32),
-                tile(self.suffix),
-            ],
+            [tile(self.prefix), q_tok, tile(self.mid), d_tok,
+             tile(self.suffix)],
             axis=1,
         )
         mask = jnp.concatenate(
             [
                 ones(self.prefix),
-                self.q_mask[q_rows].astype(jnp.int32),
+                self._masked(q_tok, self.q_mask, q_rows),
                 ones(self.mid),
-                self.d_mask[d_rows].astype(jnp.int32),
+                self._masked(d_tok, self.d_mask, d_rows),
                 ones(self.suffix),
             ],
             axis=1,

@@ -40,30 +40,35 @@ def encode_corpus(
     params,
     cfg: t5.T5Config,
     tokens: jax.Array,  # (N, L)
-    mask: jax.Array,  # (N, L)
+    mask: jax.Array | None,  # (N, L); None derives (tokens != pad_id)
     batch_size: int = 256,
     normalize: bool = True,
+    pad_id: int | None = None,
 ) -> jax.Array:
     """Encode a whole token matrix in fixed-size batches under one jitted
     scan — this is the index-refresh primitive (double-bufferable against
-    training because it is itself a single device program)."""
-    N = tokens.shape[0]
+    training because it is itself a single device program). With mask=None
+    the padding mask is derived per batch inside the scan, so no (N, L)
+    mask matrix ever exists in HBM."""
+    N, L = tokens.shape
     pad = (-N) % batch_size
     if pad:
-        tokens = jnp.concatenate([tokens, jnp.zeros((pad, tokens.shape[1]), tokens.dtype)])
-        mask = jnp.concatenate([mask, jnp.zeros((pad, mask.shape[1]), mask.dtype)])
+        tokens = jnp.concatenate([tokens, jnp.zeros((pad, L), tokens.dtype)])
+        if mask is not None:
+            mask = jnp.concatenate([mask, jnp.zeros((pad, L), mask.dtype)])
     nb = tokens.shape[0] // batch_size
+    pad_tok = cfg.pad_token_id if pad_id is None else pad_id
 
     def body(_, chunk):
         t, m = chunk
+        t = t.astype(jnp.int32)
+        if m is None:
+            m = (t != pad_tok).astype(jnp.int32)
         return None, embed(params, cfg, t, m, normalize)
 
-    _, out = jax.lax.scan(
-        body,
-        None,
-        (
-            tokens.reshape(nb, batch_size, -1),
-            mask.reshape(nb, batch_size, -1),
-        ),
+    xs = (
+        tokens.reshape(nb, batch_size, L),
+        mask.reshape(nb, batch_size, L) if mask is not None else None,
     )
+    _, out = jax.lax.scan(body, None, xs)
     return out.reshape(nb * batch_size, -1)[:N]

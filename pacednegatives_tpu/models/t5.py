@@ -61,11 +61,22 @@ class T5Config:
     # cannot fit (see docs/design.md)
     attention_impl: str = "dense"
     attention_chunk: int = 128
+    # flash_kernel: with attention_impl="chunked", run the FORWARD through
+    # the fused Mosaic kernel (ops/flash.py) when shapes are eligible
+    # (128-aligned lengths, dk 64/128, TPU); the flash-style XLA backward
+    # is shared. Scores never touch HBM in the forward.
+    flash_kernel: bool = False
     # scan_layers: lax.scan over the (homogeneous) blocks instead of a
     # Python loop — the block body compiles ONCE, cutting t5-base compile
     # time by an order of magnitude. Param layout is unchanged (blocks are
     # stacked inside the trace; XLA elides the copies where layouts allow).
     scan_layers: bool = False
+    # fused_qkv: project q|k|v (self) / k|v (cross) in one wide GEMM.
+    # MEASURED SLOWER on v5e at monoT5 shapes (6.56 vs 6.99 steps/s at
+    # L=188: the use-site weight concat defeats XLA's per-projection
+    # fusion in the backward pass), so default off; kept as a flag for
+    # other shapes/hardware.
+    fused_qkv: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -303,15 +314,19 @@ def attention(
     # times, and one (M, D)@(D, 3*inner) GEMM beats three (M, D)@(D, inner)
     # on the MXU. Parameters stay separate (checkpoint layout parity); the
     # per-layer weight concat is a ~MB-scale transient.
-    if x is kv:
+    if cfg.fused_qkv and x is kv:
         w = jnp.concatenate([p["q"], p["k"], p["v"]], axis=1).astype(dt)
         qkv = jnp.einsum("bld,de->ble", x, w)
         q, k, v = jnp.split(qkv, 3, axis=2)
-    else:
+    elif cfg.fused_qkv:
         q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
         w = jnp.concatenate([p["k"], p["v"]], axis=1).astype(dt)
         kvp = jnp.einsum("bld,de->ble", kv, w)
         k, v = jnp.split(kvp, 2, axis=2)
+    else:
+        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
+        k = jnp.einsum("bld,dk->blk", kv, p["k"].astype(dt))
+        v = jnp.einsum("bld,dk->blk", kv, p["v"].astype(dt))
     q = q.reshape(B, Lq, H, dk)
     k = k.reshape(B, Lk, H, dk)
     v = v.reshape(B, Lk, H, dk)
@@ -377,7 +392,12 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
     if per_batch is None:
         per_batch = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
-    out = _flash_core(C, q, k, v, shared, per_batch)
+    impl = (
+        "pallas"
+        if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[1], dk)
+        else "xla"
+    )
+    out = _flash_core(C, impl, q, k, v, shared, per_batch)
     return out.astype(cfg.dtype)
 
 
@@ -431,21 +451,105 @@ def _flash_forward(C, q, k, v, shared, per_batch):
     return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
 
 
+def _pallas_forward(C, q, k, v, shared, per_batch):
+    """Fused Mosaic forward (ops/flash.py): same contract as
+    _flash_forward — returns (out (B, Lq, H, dk) fp32, (m, l, out_bhqd))
+    so the XLA flash backward below is reused unchanged. The kernel keeps
+    scores/probabilities in VMEM, eliminating the (B, H, Lq, C) HBM
+    transients the XLA scan materializes each chunk."""
+    from pacednegatives_tpu.ops.flash import flash_attention_forward
+
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    pos = shared
+    if pos.shape[3] == 1:  # dummy zeros (1, 1, 1, 1)
+        pos = jnp.zeros((1, H, Lq, Lk), jnp.float32)
+    pos3 = jnp.broadcast_to(pos[0], (H, Lq, Lk))
+    if per_batch.shape[3] == 1:
+        key_mask = jnp.zeros((B, Lk), jnp.float32)
+    else:
+        key_mask = per_batch.reshape(B, Lk)
+    kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
+    out_bhqd, m, l = flash_attention_forward(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), pos3, key_mask,
+        q_block=128, kv_block=kv_block, out_dtype=jnp.float32,
+    )
+    return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+
+
+def pallas_flash_eligible(Lq: int, Lk_padded: int, dk: int) -> bool:
+    """Shape gate for the Mosaic forward: 128-aligned query/key lengths,
+    lane-width head dim, TPU backend."""
+    return (
+        Lq % 128 == 0
+        and Lk_padded % 128 == 0
+        and dk in (64, 128)
+        and jax.default_backend() == "tpu"
+    )
+
+
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash_core(C, q, k, v, shared, per_batch):
-    out, _ = _flash_forward(C, q, k, v, shared, per_batch)
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_core(C, impl, q, k, v, shared, per_batch):
+    fwd = _pallas_forward if impl == "pallas" else _flash_forward
+    out, _ = fwd(C, q, k, v, shared, per_batch)
     return out
 
 
-def _flash_core_fwd(C, q, k, v, shared, per_batch):
-    out, (m, l, out_bhqd) = _flash_forward(C, q, k, v, shared, per_batch)
+def _flash_core_fwd(C, impl, q, k, v, shared, per_batch):
+    fwd = _pallas_forward if impl == "pallas" else _flash_forward
+    out, (m, l, out_bhqd) = fwd(C, q, k, v, shared, per_batch)
     return out, (q, k, v, shared, per_batch, m, l, out_bhqd)
 
 
-def _flash_core_bwd(C, res, g):
+def _pallas_backward(C, res, g):
+    """Mosaic flash backward (ops/flash.py): same residual contract as the
+    XLA path. Returns zeros for the per-batch key-mask grad — that bias is
+    derived from integer attention masks everywhere in this model (encode:
+    input padding; decode cross: encoder padding), so no gradient consumer
+    exists; the XLA backward stays the general path."""
+    from pacednegatives_tpu.ops.flash import flash_attention_backward
+
+    q, k, v, shared, per_batch, m, l, out_bhqd = res
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    pos = shared
+    if pos.shape[3] == 1:
+        pos = jnp.zeros((1, H, Lq, Lk), jnp.float32)
+    pos3 = jnp.broadcast_to(pos[0], (H, Lq, Lk))
+    if per_batch.shape[3] == 1:
+        key_mask = jnp.zeros((B, Lk), jnp.float32)
+    else:
+        key_mask = per_batch.reshape(B, Lk)
+
+    g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
+    D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
+    kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
+    dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
+        q_block=128, kv_block=kv_block,
+    )
+    dshared = (
+        dpos[None].astype(shared.dtype)
+        if shared.shape[3] != 1
+        else jnp.zeros(shared.shape, shared.dtype)
+    )
+    return (
+        dq_bh.transpose(0, 2, 1, 3).astype(q.dtype),
+        dk_bh.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv_bh.transpose(0, 2, 1, 3).astype(v.dtype),
+        dshared,
+        jnp.zeros(per_batch.shape, per_batch.dtype),
+    )
+
+
+def _flash_core_bwd(C, impl, res, g):
+    if impl == "pallas":
+        return _pallas_backward(C, res, g)
     q, k, v, shared, per_batch, m, l, out_bhqd = res
     B, Lq, H, dk = q.shape
     Lk = k.shape[1]

@@ -14,12 +14,17 @@ backward in models/t5.py reusable as this kernel's VJP).
 Bias decomposition matches models/t5.py: a head-shared position bias
 (H, Lq, Lk) and a per-batch key mask (B, Lk), combined per block in VMEM.
 
-STATUS: experimental. Numerically verified against dense attention
-(interpret and compiled on v5e), but NOT wired into the model: at monoT5
-shapes (dk=64, L<=512) XLA's fused dense attention outperforms this kernel
-on v5e, and the training memory problem is already solved by the exact
-chunked-attention path with its flash-style custom VJP (models/t5.py).
-Retained as the starting point for a tuned Mosaic implementation (ROADMAP).
+STATUS: functional but opt-in (T5Config.flash_kernel=False). Forward AND
+backward kernels are numerically verified against the XLA flash path
+(interpret-mode parity tests incl. the learned position-bias gradient) and
+wired into models/t5._flash_core behind the flag. MEASURED SLOWER than the
+XLA chunked path on v5e at monoT5 shapes (t5-base L=512 micro=8: 1.52 vs
+2.18 steps/s): with dk=64 and per-(b,h) grid cells the work per grid
+iteration is tiny (~8 MFLOP), so Mosaic's per-iteration overhead dominates
+and the MXU runs at 50% lane occupancy on the K=64 contractions. A faster
+variant needs coarser cells (batch folded into the block, head pairs
+lane-packed to dk=128) — see ROADMAP. The XLA chunked custom-VJP path in
+models/t5.py remains the production long-sequence implementation.
 """
 
 from __future__ import annotations
@@ -92,6 +97,7 @@ def flash_attention_forward(
     q_block: int = 128,
     kv_block: int = 128,
     interpret: bool = False,
+    out_dtype=None,  # default q.dtype; fp32 when out feeds a flash VJP
 ):
     """-> (out (B, H, Lq, dk), m (B, H, Lq), l (B, H, Lq)).
 
@@ -133,7 +139,7 @@ def flash_attention_forward(
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Lq, dk), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq, dk), out_dtype or q.dtype),
             jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
         ),
@@ -161,3 +167,248 @@ def flash_attention_reference(q, k, v, pos_bias, key_mask):
     s = s + pos_bias[None].astype(jnp.float32) + key_mask[:, None, None, :].astype(jnp.float32)
     w = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Fused flash backward (Mosaic): dq + dpos in kernel 1, dk + dv in kernel 2.
+#
+# Accumulation strategy (grid iterates the LAST dim innermost):
+# - dq / dk / dv accumulate in a (B, blk, dk) fp32 SCRATCH, which persists
+#   across the whole grid sweep; each output block is written exactly once,
+#   on its final visit (ki/qi == last for that b). No output block is ever
+#   read-modify-written across non-consecutive visits.
+# - dpos (head-shared position-bias grad — a LEARNED parameter in T5, so
+#   it cannot be dropped) accumulates directly in its output ref: its block
+#   (h, qi, ki) is constant over the innermost b sweep, so revisits are
+#   consecutive and Mosaic keeps the block in VMEM; initialized at b == 0,
+#   written back when the outer indices advance.
+# - the per-batch additive key mask gets NO gradient from this path (it is
+#   derived from integer attention masks everywhere in this codebase); the
+#   XLA backward in models/t5.py remains the general path.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref,     # (1, 1, q_blk, dk)
+    k_ref,     # (1, 1, kv_blk, dk)
+    v_ref,     # (1, 1, kv_blk, dk)
+    pos_ref,   # (1, q_blk, kv_blk)
+    mask_ref,  # (1, 1, kv_blk)
+    m_ref,     # (1, 1, q_blk, 1)
+    l_ref,     # (1, 1, q_blk, 1)
+    dcap_ref,  # (1, 1, q_blk, 1)   D_i = sum_d g*out
+    g_ref,     # (1, 1, q_blk, dk)  fp32
+    dq_ref,    # out (1, 1, q_blk, dk) fp32 — written at ki == last
+    dpos_ref,  # out (1, q_blk, kv_blk) fp32 — accum over b (innermost)
+    dq_scr,    # scratch (B, q_blk, dk) fp32 — accum over ki
+):
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    b = pl.program_id(3)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + pos_ref[0].astype(jnp.float32) + mask_ref[0, 0][None, :].astype(jnp.float32)
+    p = jnp.exp(s - m_ref[0, 0]) / l_ref[0, 0]  # (q_blk, kv_blk)
+    g = g_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dcap_ref[0, 0])  # (q_blk, kv_blk)
+    dq_i = jax.lax.dot_general(
+        ds, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == 0)
+    def _init_dq():
+        dq_scr[b] = dq_i
+
+    @pl.when(ki != 0)
+    def _acc_dq():
+        dq_scr[b] += dq_i
+
+    @pl.when(ki == n_k - 1)
+    def _emit_dq():
+        dq_ref[0, 0] = dq_scr[b]
+
+    @pl.when(b == 0)
+    def _init_dpos():
+        dpos_ref[0] = ds
+
+    @pl.when(b != 0)
+    def _acc_dpos():
+        dpos_ref[0] += ds
+
+
+def _bwd_dkv_kernel(
+    q_ref,     # (1, 1, q_blk, dk)
+    k_ref,     # (1, 1, kv_blk, dk)
+    v_ref,     # (1, 1, kv_blk, dk)
+    pos_ref,   # (1, q_blk, kv_blk)
+    mask_ref,  # (1, 1, kv_blk)
+    m_ref,     # (1, 1, q_blk, 1)
+    l_ref,     # (1, 1, q_blk, 1)
+    dcap_ref,  # (1, 1, q_blk, 1)
+    g_ref,     # (1, 1, q_blk, dk) fp32
+    dk_ref,    # out (1, 1, kv_blk, dk) fp32 — written at qi == last
+    dv_ref,    # out (1, 1, kv_blk, dk) fp32 — written at qi == last
+    dk_scr,    # scratch (B, kv_blk, dk) fp32 — accum over qi
+    dv_scr,    # scratch (B, kv_blk, dk) fp32 — accum over qi
+):
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    b = pl.program_id(3)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + pos_ref[0].astype(jnp.float32) + mask_ref[0, 0][None, :].astype(jnp.float32)
+    p = jnp.exp(s - m_ref[0, 0]) / l_ref[0, 0]
+    g = g_ref[0, 0].astype(jnp.float32)
+    dv_i = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (kv_blk, dk)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dcap_ref[0, 0])
+    dk_i = jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (kv_blk, dk)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[b] = dk_i
+        dv_scr[b] = dv_i
+
+    @pl.when(qi != 0)
+    def _acc():
+        dk_scr[b] += dk_i
+        dv_scr[b] += dv_i
+
+    @pl.when(qi == n_q - 1)
+    def _emit():
+        dk_ref[0, 0] = dk_scr[b]
+        dv_ref[0, 0] = dv_scr[b]
+
+
+def flash_attention_backward(
+    q: jax.Array,        # (B, H, Lq, dk)
+    k: jax.Array,        # (B, H, Lk, dk)
+    v: jax.Array,        # (B, H, Lk, dk)
+    pos_bias: jax.Array,  # (H, Lq, Lk) fp32
+    key_mask: jax.Array,  # (B, Lk) fp32 additive
+    m: jax.Array,        # (B, H, Lq) fp32 softmax row max
+    l: jax.Array,        # (B, H, Lq) fp32 softmax row sum
+    dcap: jax.Array,     # (B, H, Lq) fp32 D_i = sum_d g*out
+    g: jax.Array,        # (B, H, Lq, dk) fp32 upstream grad
+    q_block: int = 128,
+    kv_block: int = 128,
+    interpret: bool = False,
+):
+    """-> (dq, dk, dv (B, H, L*, dk) fp32, dpos (H, Lq, Lk) fp32).
+
+    Scores/probabilities live only in VMEM: the backward streams the same
+    tiles as the forward and never materializes a (B, H, Lq, Lk) tensor in
+    HBM — at t5-base L=512 the XLA chunked backward moves multi-GB fp32
+    score transients per step; this kernel moves none.
+    """
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
+    q_block = min(q_block, Lq)
+    kv_block = min(kv_block, Lk)
+    if Lq % q_block or Lk % kv_block:
+        raise ValueError(f"Lq={Lq}/Lk={Lk} vs blocks ({q_block},{kv_block})")
+    nq, nk = Lq // q_block, Lk // kv_block
+
+    m4, l4, d4 = m[..., None], l[..., None], dcap[..., None]
+    pos = pos_bias.astype(jnp.float32)
+    msk = key_mask.astype(jnp.float32)[:, None, :]
+    g = g.astype(jnp.float32)
+
+    stats = lambda im: pl.BlockSpec((1, 1, q_block, 1), im,
+                                    memory_space=pltpu.VMEM)
+
+    dq, dpos = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid=(H, nq, nk, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, dk), lambda h, qi, ki, b: (b, h, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, qi, ki, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, qi, ki, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, kv_block), lambda h, qi, ki, b: (h, qi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block), lambda h, qi, ki, b: (b, 0, ki), memory_space=pltpu.VMEM),
+            stats(lambda h, qi, ki, b: (b, h, qi, 0)),
+            stats(lambda h, qi, ki, b: (b, h, qi, 0)),
+            stats(lambda h, qi, ki, b: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, q_block, dk), lambda h, qi, ki, b: (b, h, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, q_block, dk), lambda h, qi, ki, b: (b, h, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, kv_block), lambda h, qi, ki, b: (h, qi, ki), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lq, dk), jnp.float32),
+            jax.ShapeDtypeStruct((H, Lq, Lk), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, q_block, dk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * Lq * Lk * dk,
+            bytes_accessed=(q.size + k.size + v.size + g.size) * 4,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, pos, msk, m4, l4, d4, g)
+
+    dk_, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=(H, nk, nq, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, dk), lambda h, ki, qi, b: (b, h, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, ki, qi, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, ki, qi, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, kv_block), lambda h, ki, qi, b: (h, qi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block), lambda h, ki, qi, b: (b, 0, ki), memory_space=pltpu.VMEM),
+            stats(lambda h, ki, qi, b: (b, h, qi, 0)),
+            stats(lambda h, ki, qi, b: (b, h, qi, 0)),
+            stats(lambda h, ki, qi, b: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, q_block, dk), lambda h, ki, qi, b: (b, h, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, ki, qi, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_block, dk), lambda h, ki, qi, b: (b, h, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lk, dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lk, dk), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, kv_block, dk), jnp.float32),
+            pltpu.VMEM((B, kv_block, dk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * Lq * Lk * dk,
+            bytes_accessed=(q.size + k.size + v.size + g.size) * 4,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, pos, msk, m4, l4, d4, g)
+    return dq, dk_, dv, dpos

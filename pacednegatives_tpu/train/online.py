@@ -90,8 +90,11 @@ def make_online_fused_step(
 
         # 1. query embeddings under the CURRENT params (no grad into mining)
         params = jax.lax.stop_gradient(state.params)
+        q_tok = corpus.q_tokens[q_rows].astype(jnp.int32)
         q_emb = embed(
-            params, model_cfg, corpus.q_tokens[q_rows], corpus.q_mask[q_rows]
+            params, model_cfg, q_tok,
+            corpus.q_mask[q_rows] if corpus.q_mask is not None
+            else (q_tok != corpus.pad_id).astype(jnp.int32),
         )
 
         # 2. mine pools: top-k hardest, reversed to easiest-first
@@ -163,9 +166,11 @@ def make_refresh_fn(
 
     @jax.jit
     def refresh_slice(params, d_tokens, d_mask):
+        # d_mask None -> derived per encode batch inside encode_corpus
         emb = encode_corpus(
             params, model_cfg, d_tokens, d_mask,
             batch_size=mining.encode_batch,
+            pad_id=corpus.pad_id,
         )
         if mining.quantize:
             from pacednegatives_tpu.ops.mips import quantize_embeddings
@@ -175,6 +180,10 @@ def make_refresh_fn(
 
     rows = corpus.d_tokens.shape[0]
     per = max(min(rows, mining.refresh_rows_per_call), 1)
+    msk = lambda a, b: (
+        None if corpus.d_mask is None
+        else jax.lax.slice_in_dim(corpus.d_mask, a, b)
+    )
 
     def refresh(params):
         if rows <= per:
@@ -183,7 +192,7 @@ def make_refresh_fn(
             refresh_slice(
                 params,
                 jax.lax.slice_in_dim(corpus.d_tokens, i, min(i + per, rows)),
-                jax.lax.slice_in_dim(corpus.d_mask, i, min(i + per, rows)),
+                msk(i, min(i + per, rows)),
             )
             for i in range(0, rows, per)
         ]

@@ -50,6 +50,9 @@ class RunConfig:
     # "chunked" = exact online-softmax attention (long-sequence memory)
     attention_impl: str = "dense"
     attention_chunk: int = 128
+    # fused Mosaic attention forward+backward for eligible shapes
+    # (chunked impl, 128-aligned lengths; see models/t5.T5Config)
+    flash_kernel: bool = False
     dropout: bool = False
     # curriculum: interp | level | eta | lce | meta-cheap | meta-std
     curriculum: str = "lce"
@@ -97,6 +100,7 @@ class RunConfig:
     # (grad accumulation via lax.scan) — activation memory / k with zero
     # recompute; the TPU-native alternative to remat at long seq lengths
     microbatches: int = 1
+    microbatch_unroll: bool = False
     # loop
     out_dir: str = "runs/out"
     chunk_size: int = 16
@@ -141,6 +145,7 @@ def _build_model(cfg: RunConfig, tok):
         scan_layers=cfg.scan_layers or cfg.stacked_layers,
         attention_impl=cfg.attention_impl,
         attention_chunk=cfg.attention_chunk,
+        flash_kernel=cfg.flash_kernel,
     )
     if cfg.model in ("tiny", "small", "base"):
         mk = {
@@ -472,6 +477,7 @@ def run(cfg: RunConfig) -> dict:
             mcfg, controller, tx, loss=loss_kind, n_neg_per_example=n,
             use_mean=cfg.use_mean, rel_id=tok.true_id, nrel_id=tok.false_id,
             dropout=cfg.dropout, microbatches=cfg.microbatches,
+            microbatch_unroll=cfg.microbatch_unroll,
         )
         state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
         state = _maybe_resume(cfg, state)

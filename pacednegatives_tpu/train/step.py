@@ -70,6 +70,10 @@ def make_train_step(
     nrel_id: int = 4,
     dropout: bool = False,
     microbatches: int = 1,
+    # unroll the grad-accumulation scan: lets XLA fuse each microbatch's
+    # dW into the accumulator in place instead of copying the full fp32
+    # grad pytree through the loop carry (measurable at t5-base scale)
+    microbatch_unroll: bool = False,
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build step(state, batch) -> (state, metrics).
 
@@ -164,7 +168,8 @@ def make_train_step(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
             (main_loss, grads), aux_stack = jax.lax.scan(
-                accum, (jnp.zeros((), jnp.float32), zero_grads), chunks
+                accum, (jnp.zeros((), jnp.float32), zero_grads), chunks,
+                unroll=microbatch_unroll,
             )
             # (k, m*rows) signal stacks -> flat full-batch vectors, restoring
             # the original example order

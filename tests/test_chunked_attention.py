@@ -89,3 +89,95 @@ def test_chunked_encode_only_and_scoring(setup):
     np.testing.assert_allclose(
         np.asarray(s_chunk), np.asarray(s_dense), atol=2e-5, rtol=2e-5
     )
+
+
+def test_pallas_forward_matches_xla_flash_forward():
+    """_pallas_forward (Mosaic, interpret mode on CPU) must reproduce
+    _flash_forward's (out, m, l) exactly enough that the shared XLA flash
+    backward stays correct when the forward is swapped."""
+    from unittest import mock
+
+    import pacednegatives_tpu.ops.flash as flash_mod
+    from pacednegatives_tpu.models.t5 import _flash_forward, _pallas_forward
+
+    rng = np.random.default_rng(0)
+    B, Lq, H, dk = 2, 128, 4, 64
+    Lk = 128
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    shared = jnp.asarray(rng.standard_normal((1, H, Lq, Lk)), jnp.float32)
+    per_batch = jnp.where(
+        jnp.arange(Lk)[None, None, None, :] < 100, 0.0, -1e9
+    ).astype(jnp.float32) * jnp.ones((B, 1, 1, 1))
+
+    out_x, (m_x, l_x, obh_x) = _flash_forward(64, q, k, v, shared, per_batch)
+
+    orig = flash_mod.flash_attention_forward
+    with mock.patch.object(
+        flash_mod, "flash_attention_forward",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    ):
+        out_p, (m_p, l_p, obh_p) = _pallas_forward(
+            64, q, k, v, shared, per_batch
+        )
+
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(obh_p), np.asarray(obh_x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_backward_matches_xla_flash_backward():
+    """Full custom-VJP parity: gradients through _flash_core with the
+    Mosaic fwd+bwd (interpret mode) must match the XLA flash path for
+    q/k/v and the learned position bias. The per-batch mask grad is
+    intentionally zero in the Pallas path (derived from integer masks)."""
+    from unittest import mock
+
+    import pacednegatives_tpu.ops.flash as flash_mod
+    from pacednegatives_tpu.models import t5 as t5_mod
+
+    rng = np.random.default_rng(1)
+    B, Lq, H, dk = 2, 128, 4, 64
+    Lk = 128
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    shared = jnp.asarray(
+        rng.standard_normal((1, H, Lq, Lk)) * 0.5, jnp.float32
+    )
+    per_batch = (
+        jnp.where(jnp.arange(Lk)[None, None, None, :] < 100, 0.0, -1e9)
+        .astype(jnp.float32) * jnp.ones((B, 1, 1, 1))
+    )
+    cot = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
+
+    def loss(impl, q, k, v, shared):
+        out = t5_mod._flash_core(64, impl, q, k, v, shared, per_batch)
+        return jnp.sum(out * cot)
+
+    gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3))(
+        q, k, v, shared
+    )
+    orig_fwd = flash_mod.flash_attention_forward
+    orig_bwd = flash_mod.flash_attention_backward
+    with mock.patch.object(
+        flash_mod, "flash_attention_forward",
+        lambda *a, **kw: orig_fwd(*a, **{**kw, "interpret": True}),
+    ), mock.patch.object(
+        flash_mod, "flash_attention_backward",
+        lambda *a, **kw: orig_bwd(*a, **{**kw, "interpret": True}),
+    ):
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3))(
+            q, k, v, shared
+        )
+    for name, a, b in zip(("dq", "dk", "dv", "dpos"), gx, gp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )

@@ -117,7 +117,7 @@ def test_mined_pools_exclude_positive_and_order(setup):
     pair_idx = jnp.arange(4)
     q_rows = dc.query_rows[pair_idx]
     pos_rows = np.asarray(dc.pos_rows[pair_idx])
-    q_emb = embed(params, cfg, dc.q_tokens[q_rows], dc.q_mask[q_rows])
+    q_emb = embed(params, cfg, dc.q_tokens[q_rows].astype(jnp.int32))
 
     # replicate the kernel's mining path
     from pacednegatives_tpu.ops.mips import mips_topk_exact
@@ -156,3 +156,61 @@ def test_mined_pools_exclude_positive_and_order(setup):
         assert not np.array_equal(
             neg_ids[b, d_start:d_end], d_tok[pos_rows[b]]
         )
+
+
+def test_sliced_refresh_matches_monolithic(setup):
+    """refresh_rows_per_call slicing is exact: per-row quantization makes
+    slice boundaries invisible (the 1M-doc path uses 262144-row slices to
+    bound single-execution device time)."""
+    tok, dc, cfg, params = setup
+    whole = OnlineMiningConfig(pool_size=8, encode_batch=16, quantize=True)
+    sliced = OnlineMiningConfig(
+        pool_size=8, encode_batch=16, quantize=True, refresh_rows_per_call=24
+    )
+    v0, s0 = make_refresh_fn(dc, cfg, whole)(params)
+    v1, s1 = make_refresh_fn(dc, cfg, sliced)(params)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+
+def test_corpus_threads_as_argument_not_hlo_constant(setup):
+    """When the corpus crosses the jit boundary as an argument (DeviceCorpus
+    pytree), the lowered module must NOT embed the token matrices as
+    literals — that is the MS MARCO-scale failure mode (multi-hundred-MB
+    compile payloads). The closure form bakes them in; the argument form
+    must stay small."""
+    tok, _, cfg, params = setup
+    from pacednegatives_tpu.train import make_fused_step
+
+    # corpus large enough that baked-in literals dominate proto-size noise
+    big = TextCorpus.synthetic(num_docs=512, num_queries=8, seed=0)
+    store = TokenizedStore.build(big, tok, max_q_tokens=6, max_d_tokens=64)
+    triples = TripletStore.synthetic(big, n_pairs=32, n_neg=8, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+
+    ctrl = InterpController(start=0.2, end=0.8, num_steps=20, batch_size=4)
+    tx = make_optimizer(lr=1e-3, total_steps=12)
+    step = make_train_step(
+        cfg, ctrl, tx, loss="pair", rel_id=tok.true_id, nrel_id=tok.false_id
+    )
+    fused = make_fused_step(dc, step, ctrl, loss="pair")
+    state = init_train_state(params, tx, ctrl.init())
+    idx = jnp.zeros((2, 4), jnp.int32)
+
+    as_arg = jax.jit(
+        lambda s, i, corp: jax.lax.scan(
+            lambda ss, ii: fused(ss, ii, corp), s, i
+        )
+    ).lower(state, idx, dc)
+    closed = jax.jit(
+        lambda s, i: jax.lax.scan(fused, s, i)
+    ).lower(state, idx)
+    # .as_text() elides large literals, so compare the serialized module
+    # protos: the closure form embeds the corpus matrices as constants
+    # (premise), the argument form must not (its proto stays smaller by at
+    # least the token bytes).
+    size = lambda l: len(
+        l.compiler_ir(dialect="hlo").as_serialized_hlo_module_proto()
+    )
+    corpus_bytes = np.asarray(dc.d_tokens).nbytes
+    assert size(closed) - size(as_arg) >= corpus_bytes // 2
