@@ -420,6 +420,24 @@ def _flash_forward(C, q, k, v, shared, per_batch):
     B, Lq, H, dk = q.shape
     Lk = k.shape[1]
     n_chunks = Lk // C
+
+    if n_chunks == 1:
+        # single-chunk fast path (covers any L <= attention_chunk): no
+        # scan wrapper, no online-softmax correction passes, no k/v
+        # re-chunking copies — one softmax, same (m, l) statistics
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        s = s + shared + per_batch  # dummies are zeros (1,1,1,1); broadcast
+        m = s.max(axis=-1)
+        p_ = jnp.exp(s - m[..., None])
+        l = jnp.maximum(p_.sum(axis=-1), 1e-30)
+        out_bhqd = jnp.einsum(
+            "bhqk,bkhd->bhqd", p_.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ) / l[..., None]
+        return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+
     k_c = k.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
     v_c = v.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
 
@@ -457,7 +475,11 @@ def _pallas_forward(C, q, k, v, shared, per_batch):
     so the XLA flash backward below is reused unchanged. The kernel keeps
     scores/probabilities in VMEM, eliminating the (B, H, Lq, C) HBM
     transients the XLA scan materializes each chunk."""
-    from pacednegatives_tpu.ops.flash import flash_attention_forward
+    from pacednegatives_tpu.ops.flash import (
+        flash_attention_forward,
+        flash_attention_forward_v2,
+        flash_v2_eligible,
+    )
 
     B, Lq, H, dk = q.shape
     Lk = k.shape[1]
@@ -469,12 +491,22 @@ def _pallas_forward(C, q, k, v, shared, per_batch):
         key_mask = jnp.zeros((B, Lk), jnp.float32)
     else:
         key_mask = per_batch.reshape(B, Lk)
-    kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
-    out_bhqd, m, l = flash_attention_forward(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), pos3, key_mask,
-        q_block=128, kv_block=kv_block, out_dtype=jnp.float32,
-    )
+    if flash_v2_eligible(H, Lq, Lk, dk):
+        import os as _os
+
+        qb = int(_os.environ.get("PNTPU_FLASH_QBLOCK", "128"))
+        out_bhqd, m, l = flash_attention_forward_v2(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), pos3, key_mask,
+            q_block=qb, out_dtype=jnp.float32,
+        )
+    else:
+        kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
+        out_bhqd, m, l = flash_attention_forward(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), pos3, key_mask,
+            q_block=128, kv_block=kv_block, out_dtype=jnp.float32,
+        )
     return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
 
 
@@ -511,7 +543,11 @@ def _pallas_backward(C, res, g):
     derived from integer attention masks everywhere in this model (encode:
     input padding; decode cross: encoder padding), so no gradient consumer
     exists; the XLA backward stays the general path."""
-    from pacednegatives_tpu.ops.flash import flash_attention_backward
+    from pacednegatives_tpu.ops.flash import (
+        flash_attention_backward,
+        flash_attention_backward_v2,
+        flash_v2_eligible,
+    )
 
     q, k, v, shared, per_batch, m, l, out_bhqd = res
     B, Lq, H, dk = q.shape
@@ -527,12 +563,22 @@ def _pallas_backward(C, res, g):
 
     g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
     D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
-    kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
-    dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
-        q_block=128, kv_block=kv_block,
-    )
+    if flash_v2_eligible(H, Lq, Lk, dk):
+        import os as _os
+
+        qb = int(_os.environ.get("PNTPU_FLASH_QBLOCK", "128"))
+        dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward_v2(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
+            q_block=qb,
+        )
+    else:
+        kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
+        dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
+            q_block=128, kv_block=kv_block,
+        )
     dshared = (
         dpos[None].astype(shared.dtype)
         if shared.shape[3] != 1
@@ -564,6 +610,45 @@ def _flash_core_bwd(C, impl, res, g):
     dshared_shape = shared.shape
     dper_shape = per_batch.shape
 
+    # Matmul inputs stay in the COMPUTE dtype (bf16) with fp32 accumulation
+    # (preferred_element_type) — upcasting the operands to fp32 would halve
+    # MXU throughput and double HBM traffic for 2/3 of the attention FLOPs,
+    # and the dense path's autodiff computes these same products in bf16.
+    # Softmax math (exp, the ds combination) stays fp32.
+    cdt = q.dtype
+    g_c = g_bhqd.astype(cdt)
+
+    if n_chunks == 1:
+        # single-chunk fast path: mirrors the forward — no scan, no
+        # dynamic-slice bias accumulation
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        s = s + shared + per_batch
+        p_ = jnp.exp(s - m[..., None]) / l[..., None]
+        dv = jnp.einsum(
+            "bhqk,bhqd->bkhd", p_.astype(cdt), g_c,
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.einsum(
+            "bhqd,bkhd->bhqk", g_c, v, preferred_element_type=jnp.float32
+        )
+        ds = p_ * (dp - D[..., None])
+        ds_c = ds.astype(cdt)
+        dq = jnp.einsum(
+            "bhqk,bkhd->bqhd", ds_c, k, preferred_element_type=jnp.float32
+        )
+        dk_full = jnp.einsum(
+            "bhqk,bqhd->bkhd", ds_c, q, preferred_element_type=jnp.float32
+        )
+        return (
+            dq.astype(q.dtype),
+            dk_full.astype(k.dtype),
+            dv.astype(v.dtype),
+            _unbroadcast(ds, dshared_shape).astype(shared.dtype),
+            _unbroadcast(ds, dper_shape).astype(per_batch.dtype),
+        )
+
     def body(carry, inputs):
         dq, dshared, dper = carry
         j, k_j, v_j = inputs
@@ -573,19 +658,21 @@ def _flash_core_bwd(C, impl, res, g):
         s = s + _bias_chunk(shared, j, C) + _bias_chunk(per_batch, j, C)
         p_ = jnp.exp(s - m[..., None]) / l[..., None]  # (B, H, Lq, C)
         dv_j = jnp.einsum(
-            "bhqk,bhqd->bkhd", p_, g_bhqd, preferred_element_type=jnp.float32
-        )
-        dp = jnp.einsum(
-            "bhqd,bkhd->bhqk", g_bhqd, v_j.astype(jnp.float32),
+            "bhqk,bhqd->bkhd", p_.astype(cdt), g_c,
             preferred_element_type=jnp.float32,
         )
-        ds = p_ * (dp - D[..., None])  # (B, H, Lq, C)
+        dp = jnp.einsum(
+            "bhqd,bkhd->bhqk", g_c, v_j,
+            preferred_element_type=jnp.float32,
+        )
+        ds = p_ * (dp - D[..., None])  # (B, H, Lq, C) fp32
+        ds_c = ds.astype(cdt)
         dq = dq + jnp.einsum(
-            "bhqk,bkhd->bqhd", ds, k_j.astype(jnp.float32),
+            "bhqk,bkhd->bqhd", ds_c, k_j,
             preferred_element_type=jnp.float32,
         )
         dk_j = jnp.einsum(
-            "bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
+            "bhqk,bqhd->bkhd", ds_c, q,
             preferred_element_type=jnp.float32,
         )
         # bias grads: reduce ds to each bias's (broadcast) chunk shape, then
@@ -725,6 +812,43 @@ def _causal_bias(L: int) -> jax.Array:
     return jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)[None, None]
 
 
+def position_bias_cache(params: PyTree, cfg: "T5Config", l_enc: int,
+                        l_dec: int) -> dict:
+    """Precompute the (1, H, L, L) relative-position biases for one step.
+
+    The bucket gather behind compute_position_bias is scatter-heavy VPU
+    work (~21 ms/step at t5-base L=512) and is loop-INVARIANT across
+    grad-accumulation microbatches, but XLA does not hoist it out of the
+    scan. Training steps compute this once per step via jax.vjp and pass
+    it into encode/decode (train/step.py), folding the accumulated bias
+    cotangent back into the rel_bias parameter gradient — numerically the
+    same gradient, 1/k the gathers. The decoder entry includes the causal
+    mask (constant; zero gradient)."""
+    return position_bias_from_tables(
+        _rel_bias(params["encoder"]), _rel_bias(params["decoder"]),
+        cfg, l_enc, l_dec,
+    )
+
+
+def position_bias_from_tables(enc_rel_bias: jax.Array,
+                              dec_rel_bias: jax.Array,
+                              cfg: "T5Config", l_enc: int, l_dec: int) -> dict:
+    """position_bias_cache on the two (buckets, H) tables directly — the
+    differentiable inputs train/step.py takes a vjp against (so the bias
+    cotangent folds back into exactly two leaves, not the whole pytree)."""
+    enc_bias = compute_position_bias(
+        enc_rel_bias, l_enc, l_enc, True,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    dec_bias = compute_position_bias(
+        dec_rel_bias, l_dec, l_dec, False,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    ) + _causal_bias(l_dec)
+    return {"enc": enc_bias, "dec_self": dec_bias}
+
+
 # ---------------------------------------------------------------------------
 # Stacks
 # ---------------------------------------------------------------------------
@@ -738,6 +862,7 @@ def encode(
     *,
     deterministic: bool = True,
     dropout_key: jax.Array | None = None,
+    pos_bias: jax.Array | None = None,  # precomputed (position_bias_cache)
 ) -> jax.Array:
     """Encoder stack: (B, L) token ids -> (B, L, D) hidden states."""
     if attention_mask is None:
@@ -749,12 +874,13 @@ def encode(
     emb = params["shared"]["embedding"].astype(dt)
     x = emb[input_ids]
 
-    pos_bias = compute_position_bias(
-        _rel_bias(enc),
-        L, L, True,
-        cfg.relative_attention_num_buckets,
-        cfg.relative_attention_max_distance,
-    )
+    if pos_bias is None:
+        pos_bias = compute_position_bias(
+            _rel_bias(enc),
+            L, L, True,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        )
     # lazy (shared, per-batch) pair: the dense path sums them; the chunked
     # path combines per key block without forming (B, H, L, L)
     bias = (pos_bias, _padding_bias(attention_mask))
@@ -824,6 +950,7 @@ def decode(
     *,
     deterministic: bool = True,
     dropout_key: jax.Array | None = None,
+    self_pos_bias: jax.Array | None = None,  # precomputed, incl. causal
 ) -> jax.Array:
     """Decoder stack with teacher forcing -> (B, Lt, vocab) logits."""
     dec = params["decoder"]
@@ -833,15 +960,14 @@ def decode(
     emb = params["shared"]["embedding"].astype(dt)
     x = emb[decoder_input_ids]
 
-    self_bias = (
-        compute_position_bias(
+    if self_pos_bias is None:
+        self_pos_bias = compute_position_bias(
             _rel_bias(dec),
             Lt, Lt, False,
             cfg.relative_attention_num_buckets,
             cfg.relative_attention_max_distance,
-        ) + _causal_bias(Lt),
-        None,
-    )
+        ) + _causal_bias(Lt)
+    self_bias = (self_pos_bias, None)
     cross_bias = (None, _padding_bias(encoder_mask))
 
     nk = 3 * cfg.num_decoder_layers + 2
@@ -946,6 +1072,7 @@ def forward_logits(
     *,
     deterministic: bool = True,
     dropout_key: jax.Array | None = None,
+    pos_biases: dict | None = None,  # from position_bias_cache
 ) -> jax.Array:
     """Full seq2seq forward: equivalent of ``model(input_ids, labels).logits``
     in the reference (old/eta_bound.py:69-71) — one teacher-forced pass."""
@@ -958,11 +1085,13 @@ def forward_logits(
     enc = encode(
         params, cfg, input_ids, attention_mask,
         deterministic=deterministic, dropout_key=k_enc,
+        pos_bias=pos_biases["enc"] if pos_biases else None,
     )
     dec_in = shift_right(labels, cfg)
     return decode(
         params, cfg, dec_in, enc, attention_mask,
         deterministic=deterministic, dropout_key=k_dec,
+        self_pos_bias=pos_biases["dec_self"] if pos_biases else None,
     )
 
 

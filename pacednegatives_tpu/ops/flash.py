@@ -14,17 +14,20 @@ backward in models/t5.py reusable as this kernel's VJP).
 Bias decomposition matches models/t5.py: a head-shared position bias
 (H, Lq, Lk) and a per-batch key mask (B, Lk), combined per block in VMEM.
 
-STATUS: functional but opt-in (T5Config.flash_kernel=False). Forward AND
-backward kernels are numerically verified against the XLA flash path
+STATUS: functional but opt-in (T5Config.flash_kernel=False). Two
+generations, both numerically verified against the XLA flash path
 (interpret-mode parity tests incl. the learned position-bias gradient) and
-wired into models/t5._flash_core behind the flag. MEASURED SLOWER than the
-XLA chunked path on v5e at monoT5 shapes (t5-base L=512 micro=8: 1.52 vs
-2.18 steps/s): with dk=64 and per-(b,h) grid cells the work per grid
-iteration is tiny (~8 MFLOP), so Mosaic's per-iteration overhead dominates
-and the MXU runs at 50% lane occupancy on the K=64 contractions. A faster
-variant needs coarser cells (batch folded into the block, head pairs
-lane-packed to dk=128) — see ROADMAP. The XLA chunked custom-VJP path in
-models/t5.py remains the production long-sequence implementation.
+wired into models/t5._flash_core behind the flag:
+- v1 (grid (B, H, qi, ki)): ~221k tiny grid cells per t5-base L=512 train
+  step; Mosaic per-iteration overhead dominates (1.52 vs 2.29 steps/s).
+- v2 (grid (B, qi), whole keys + all heads VMEM-resident, unrolled head
+  loop, single fused backward producing dq/dk/dv/dpos): 2.27 steps/s at
+  q_block=512 — parity with the XLA chunked path (2.29) but not beyond;
+  the remaining gap is the K=dk=64 contractions running at half MXU lane
+  occupancy, which XLA's batched einsums pipeline just as well.
+The flag therefore stays off by default; the XLA chunked custom-VJP path
+in models/t5.py (single-chunk fast path + bf16 backward operands) is the
+production implementation at monoT5 shapes.
 """
 
 from __future__ import annotations
@@ -411,4 +414,247 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(q, k, v, pos, msk, m4, l4, d4, g)
+    return dq, dk_, dv, dpos
+
+
+# ---------------------------------------------------------------------------
+# Flash v2: coarse-grained kernels for moderate key lengths.
+#
+# v1's grid iterates (B, H, qi, ki) — at t5-base L=512 that is ~221k grid
+# cells per train step across fwd+bwd, each doing ~8 MFLOP: Mosaic's
+# per-iteration overhead dominates (measured 1.52 vs 2.18 steps/s). v2
+# keys the grid on (B, q_block) only: the ENTIRE key range and ALL heads
+# for one batch row live in VMEM (t5-base L=512: k+v ~1.6 MB, position
+# bias 12.6 MB), the head loop is unrolled in the kernel body, and one
+# backward kernel produces dq, dk, dv AND dpos:
+#   - dq: written once per (b, qi) cell (keys fully resident — the kv
+#     reduction happens inside the cell);
+#   - dk/dv: accumulate in their output refs over qi, the INNERMOST grid
+#     dim — consecutive revisits, so Mosaic keeps the block in VMEM and
+#     writes it back once per b;
+#   - dpos: whole-array output block with a CONSTANT index map —
+#     revisited on every iteration (always consecutive), accumulated in
+#     place, written back once at the end of the sweep.
+# Eligible when Lq, Lk are 128-aligned and the VMEM residents fit
+# (flash_v2_eligible); longer sequences fall back to the XLA chunked path.
+# ---------------------------------------------------------------------------
+
+
+def flash_v2_eligible(H: int, Lq: int, Lk: int, dk: int) -> bool:
+    resident = H * Lk * dk * 2 * 2 + 2 * H * Lq * Lk * 4  # k+v, pos+dpos
+    return (
+        Lq % 128 == 0 and Lk % 128 == 0 and dk in (64, 128)
+        and resident <= 48 * 1024 * 1024
+    )
+
+
+def _fwd_v2_kernel(q_ref, k_ref, v_ref, pos_ref, mask_ref,
+                   out_ref, m_ref, l_ref, *, H: int):
+    # q (1, H, q_blk, dk); k/v (1, H, Lk, dk) whole keys; pos (H, Lq, Lk)
+    # WHOLE array (constant index map -> fetched once per pallas_call, not
+    # per grid cell); mask (1, 1, Lk)
+    qi = pl.program_id(1)
+    qb = q_ref.shape[2]
+    rows = pl.ds(qi * qb, qb)
+    mask = mask_ref[0, 0][None, :].astype(jnp.float32)
+    for h in range(H):
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (q_blk, Lk)
+        s = s + pos_ref[h, rows].astype(jnp.float32) + mask
+        m = s.max(axis=1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.maximum(p.sum(axis=1), 1e-30)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, h] = (acc / l[:, None]).astype(out_ref.dtype)
+        m_ref[0, h] = m[:, None]
+        l_ref[0, h] = l[:, None]
+
+
+def flash_attention_forward_v2(
+    q: jax.Array,        # (B, H, Lq, dk)
+    k: jax.Array,        # (B, H, Lk, dk)
+    v: jax.Array,        # (B, H, Lk, dk)
+    pos_bias: jax.Array,  # (H, Lq, Lk) fp32
+    key_mask: jax.Array,  # (B, Lk) fp32 additive
+    q_block: int = 128,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
+    q_block = min(q_block, Lq)
+    if Lq % q_block:
+        raise ValueError(f"Lq={Lq} not a multiple of q_block={q_block}")
+    nq = Lq // q_block
+    import functools
+
+    out, m, l = pl.pallas_call(
+        functools.partial(_fwd_v2_kernel, H=H),
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec((1, H, q_block, dk), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Lq, Lk), lambda b, qi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk), lambda b, qi: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, q_block, dk), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, 1), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, 1), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lq, dk), out_dtype or q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Lq * Lk * dk,
+            bytes_accessed=(q.size + B * 2 * H * Lk * dk) * 2,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        q, k, v, pos_bias.astype(jnp.float32),
+        key_mask.astype(jnp.float32)[:, None, :],
+    )
+    return out, m[..., 0], l[..., 0]
+
+
+def _bwd_v2_kernel(q_ref, k_ref, v_ref, pos_ref, mask_ref, m_ref, l_ref,
+                   dcap_ref, g_ref, dq_ref, dk_ref, dv_ref, dpos_ref,
+                   *, H: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    qb = q_ref.shape[2]
+    rows = pl.ds(qi * qb, qb)
+
+    mask = mask_ref[0, 0][None, :].astype(jnp.float32)
+    cdt = q_ref.dtype
+
+    for h in range(H):
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + pos_ref[h, rows].astype(jnp.float32) + mask
+        p = jnp.exp(s - m_ref[0, h]) / l_ref[0, h]  # (q_blk, Lk)
+        g = g_ref[0, h].astype(jnp.float32)
+        p_c = p.astype(cdt)
+        g_c = g.astype(cdt)
+        dv_i = jax.lax.dot_general(
+            p_c, g_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Lk, dk)
+        dp = jax.lax.dot_general(
+            g_c, v_ref[0, h],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (q_blk, Lk)
+        ds = p * (dp - dcap_ref[0, h])
+        ds_c = ds.astype(cdt)
+        dq_ref[0, h] = jax.lax.dot_general(
+            ds_c, k_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_i = jax.lax.dot_general(
+            ds_c, q_ref[0, h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Lk, dk)
+
+        @pl.when(qi == 0)
+        def _init_kv():
+            dk_ref[0, h] = dk_i
+            dv_ref[0, h] = dv_i
+
+        @pl.when(qi != 0)
+        def _acc_kv():
+            dk_ref[0, h] += dk_i
+            dv_ref[0, h] += dv_i
+
+        # dpos region (h, rows) is first visited at b == 0 (qi sweeps
+        # fully for each b), accumulated for b > 0
+        @pl.when(b == 0)
+        def _init_pos():
+            dpos_ref[h, rows] = ds
+
+        @pl.when(b != 0)
+        def _acc_pos():
+            dpos_ref[h, rows] += ds
+
+
+def flash_attention_backward_v2(
+    q, k, v, pos_bias, key_mask, m, l, dcap, g,
+    q_block: int = 128,
+    interpret: bool = False,
+):
+    """-> (dq, dk, dv (B, H, L*, dk) fp32, dpos (H, Lq, Lk) fp32)."""
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
+    q_block = min(q_block, Lq)
+    if Lq % q_block:
+        raise ValueError(f"Lq={Lq} not a multiple of q_block={q_block}")
+    nq = Lq // q_block
+    import functools
+
+    m4, l4, d4 = m[..., None], l[..., None], dcap[..., None]
+    dq, dk_, dv, dpos = pl.pallas_call(
+        functools.partial(_bwd_v2_kernel, H=H),
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec((1, H, q_block, dk), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            # whole pos resident (constant index map): fetched once per
+            # pallas_call, indexed by dynamic row slice in the kernel
+            pl.BlockSpec((H, Lq, Lk), lambda b, qi: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk), lambda b, qi: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, 1), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, 1), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, 1), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, q_block, dk), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, q_block, dk), lambda b, qi: (b, 0, qi, 0), memory_space=pltpu.VMEM),
+            # dk/dv: innermost-dim (qi) revisits are consecutive -> in-ref
+            # accumulation, one write-back per b
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Lk, dk), lambda b, qi: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            # dpos: constant index map -> always-consecutive revisits,
+            # accumulated across the whole sweep, single final write-back
+            pl.BlockSpec((H, Lq, Lk), lambda b, qi: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Lq, dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lk, dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Lk, dk), jnp.float32),
+            jax.ShapeDtypeStruct((H, Lq, Lk), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Lq * Lk * dk,
+            bytes_accessed=(q.size + g.size) * 4 + B * nq * 2 * H * Lk * dk * 2,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        q, k, v, pos_bias.astype(jnp.float32),
+        key_mask.astype(jnp.float32)[:, None, :], m4, l4, d4,
+        g.astype(jnp.float32),
+    )
     return dq, dk_, dv, dpos

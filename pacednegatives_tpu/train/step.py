@@ -33,15 +33,34 @@ from pacednegatives_tpu.train.state import TrainState
 Batch = dict[str, jax.Array]
 
 
-def _ce_and_first_logits(params, cfg, ids, mask, labels, dropout_key=None):
+def _fold_rel_bias_grad(grads: dict, stack_key: str, g: jax.Array) -> dict:
+    """Add ``g`` into the rel_bias leaf of ``grads[stack_key]`` (either the
+    native stacked layout's top-level ``rel_bias`` or the legacy
+    ``block_0.self_attn.rel_bias``), functionally."""
+    stack = dict(grads[stack_key])
+    if "rel_bias" in stack:
+        stack["rel_bias"] = stack["rel_bias"] + g
+    else:
+        b0 = dict(stack["block_0"])
+        sa = dict(b0["self_attn"])
+        sa["rel_bias"] = sa["rel_bias"] + g
+        b0["self_attn"] = sa
+        stack["block_0"] = b0
+    return {**grads, stack_key: stack}
+
+
+def _ce_and_first_logits(params, cfg, ids, mask, labels, dropout_key=None,
+                         pos_biases=None):
     logits = t5.forward_logits(
         params, cfg, ids, labels, mask,
         deterministic=dropout_key is None, dropout_key=dropout_key,
+        pos_biases=pos_biases,
     )
     return token_ce(logits, labels), logits[:, 0, :]
 
 
-def _ce_with_tokens(params, cfg, ids, mask, labels, dropout_key=None):
+def _ce_with_tokens(params, cfg, ids, mask, labels, dropout_key=None,
+                    pos_biases=None):
     """Per-example CE, per-TOKEN CE matrix, and first decode-step logits.
 
     The pair-curriculum meta objective needs per-token CE: the reference
@@ -51,6 +70,7 @@ def _ce_with_tokens(params, cfg, ids, mask, labels, dropout_key=None):
     logits = t5.forward_logits(
         params, cfg, ids, labels, mask,
         deterministic=dropout_key is None, dropout_key=dropout_key,
+        pos_biases=pos_biases,
     )
     per_tok = token_ce_per_token(logits, labels)
     valid = labels != -100
@@ -104,8 +124,36 @@ def make_train_step(
         key, new_key = jax.random.split(state.key)
         B = batch["pos_ids"].shape[0]
 
-        def loss_fn(params, pos_ids, pos_mask, pos_labels, neg_ids, neg_mask,
-                    neg_labels, dkey):
+        # Position biases once per STEP, not per microbatch forward: the
+        # bucket gather is loop-invariant but XLA won't hoist it out of the
+        # grad-accumulation scan (~21 ms/step at t5-base L=512). The bias
+        # cotangent accumulated below folds back into the rel_bias table
+        # gradients through this vjp — numerically the reference gradient.
+        rb = {
+            "enc": t5._rel_bias(state.params["encoder"]),
+            "dec": t5._rel_bias(state.params["decoder"]),
+        }
+        bias_fn = lambda rb: t5.position_bias_from_tables(
+            rb["enc"], rb["dec"], model_cfg,
+            batch["pos_ids"].shape[1], batch["pos_labels"].shape[1],
+        )
+        biases, bias_vjp = jax.vjp(bias_fn, rb)
+
+        # Cast the big matmul weights to the compute dtype ONCE per step:
+        # the per-use .astype(dt) inside the model is loop-invariant across
+        # microbatches but not hoisted by XLA (~1.3 GB of cast traffic per
+        # microbatch at t5-base). Differentiation runs against the cast
+        # tree; gradients upcast to fp32 before accumulation/optimizer.
+        # 1-D scales and the (buckets, H) rel_bias tables stay fp32.
+        def _pre(p):
+            if p.ndim >= 2 and p.shape[-1] >= 128 and p.dtype == jnp.float32:
+                return p.astype(model_cfg.dtype)
+            return p
+
+        params_c = jax.tree_util.tree_map(_pre, state.params)
+
+        def loss_fn(params, biases, pos_ids, pos_mask, pos_labels, neg_ids,
+                    neg_mask, neg_labels, dkey):
             # ONE forward over [positives; negatives] — prompts share their
             # shape, so concatenation turns two half-utilized encoder passes
             # (B and B*n rows) into a single (B*(1+n), L) pass that tiles the
@@ -115,7 +163,8 @@ def make_train_step(
             mask = jnp.concatenate([pos_mask, neg_mask])
             labels = jnp.concatenate([pos_labels, neg_labels])
             ce_all, ce_tok, first = _ce_with_tokens(
-                params, model_cfg, ids, mask, labels, dkey if dropout else None
+                params, model_cfg, ids, mask, labels,
+                dkey if dropout else None, pos_biases=biases,
             )
             pce, nce = ce_all[:b], ce_all[b:]
             p_first, n_first = first[:b], first[b:]
@@ -131,13 +180,18 @@ def make_train_step(
                 sig_p, sig_n = pce, nce
             return main, (pce, nce, sig_p, sig_n, sig_ce, p_first, n_first)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        f32 = lambda t: jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), t
+        )
         if k <= 1:
-            (main_loss, aux), grads = grad_fn(
-                state.params, batch["pos_ids"], batch["pos_mask"],
+            (main_loss, aux), (grads, gbias) = grad_fn(
+                params_c, biases, batch["pos_ids"], batch["pos_mask"],
                 batch["pos_labels"], batch["neg_ids"], batch["neg_mask"],
                 batch["neg_labels"], key,
             )
+            grads = f32(grads)
+            gbias = f32(gbias)
         else:
             if B % k:
                 raise ValueError(f"batch {B} not divisible by microbatches {k}")
@@ -154,12 +208,15 @@ def make_train_step(
             )
 
             def accum(carry, chunk):
-                loss_acc, grads_acc = carry
-                (l_i, aux_i), g_i = grad_fn(state.params, *chunk)
+                loss_acc, grads_acc, gbias_acc = carry
+                (l_i, aux_i), (g_i, gb_i) = grad_fn(params_c, biases, *chunk)
                 carry = (
                     loss_acc + l_i / k,
                     jax.tree_util.tree_map(
                         lambda a, g: a + g / k, grads_acc, g_i
+                    ),
+                    jax.tree_util.tree_map(
+                        lambda a, g: a + g / k, gbias_acc, gb_i
                     ),
                 )
                 return carry, aux_i
@@ -167,9 +224,12 @@ def make_train_step(
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            (main_loss, grads), aux_stack = jax.lax.scan(
-                accum, (jnp.zeros((), jnp.float32), zero_grads), chunks,
-                unroll=microbatch_unroll,
+            zero_gbias = jax.tree_util.tree_map(
+                lambda b: jnp.zeros(b.shape, jnp.float32), biases
+            )
+            (main_loss, grads, gbias), aux_stack = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zero_grads, zero_gbias),
+                chunks, unroll=microbatch_unroll,
             )
             # (k, m*rows) signal stacks -> flat full-batch vectors, restoring
             # the original example order
@@ -177,6 +237,12 @@ def make_train_step(
                 lambda x: x.reshape((-1,) + x.shape[2:]), aux_stack
             )
         pce, nce, sig_p, sig_n, sig_ce, p_first, n_first = aux
+
+        # fold the accumulated bias cotangent back into the two rel_bias
+        # table grads (see position_bias_cache)
+        grb = bias_vjp(gbias)[0]
+        grads = _fold_rel_bias_grad(grads, "encoder", grb["enc"])
+        grads = _fold_rel_bias_grad(grads, "decoder", grb["dec"])
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -114,9 +114,13 @@ def test_pallas_forward_matches_xla_flash_forward():
     out_x, (m_x, l_x, obh_x) = _flash_forward(64, q, k, v, shared, per_batch)
 
     orig = flash_mod.flash_attention_forward
+    orig_v2 = flash_mod.flash_attention_forward_v2
     with mock.patch.object(
         flash_mod, "flash_attention_forward",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    ), mock.patch.object(
+        flash_mod, "flash_attention_forward_v2",
+        lambda *a, **kw: orig_v2(*a, **{**kw, "interpret": True}),
     ):
         out_p, (m_p, l_p, obh_p) = _pallas_forward(
             64, q, k, v, shared, per_batch
@@ -166,12 +170,20 @@ def test_pallas_backward_matches_xla_flash_backward():
     )
     orig_fwd = flash_mod.flash_attention_forward
     orig_bwd = flash_mod.flash_attention_backward
+    orig_fwd2 = flash_mod.flash_attention_forward_v2
+    orig_bwd2 = flash_mod.flash_attention_backward_v2
     with mock.patch.object(
         flash_mod, "flash_attention_forward",
         lambda *a, **kw: orig_fwd(*a, **{**kw, "interpret": True}),
     ), mock.patch.object(
         flash_mod, "flash_attention_backward",
         lambda *a, **kw: orig_bwd(*a, **{**kw, "interpret": True}),
+    ), mock.patch.object(
+        flash_mod, "flash_attention_forward_v2",
+        lambda *a, **kw: orig_fwd2(*a, **{**kw, "interpret": True}),
+    ), mock.patch.object(
+        flash_mod, "flash_attention_backward_v2",
+        lambda *a, **kw: orig_bwd2(*a, **{**kw, "interpret": True}),
     ):
         gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3))(
             q, k, v, shared
@@ -180,4 +192,43 @@ def test_pallas_backward_matches_xla_flash_backward():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
             err_msg=name,
+        )
+
+
+def test_flash_v2_kernels_match_v1():
+    """v2 (coarse-grid, whole-key, unrolled-heads) must agree with v1 on
+    eligible shapes, including the accumulated dk/dv and dpos outputs."""
+    from pacednegatives_tpu.ops import flash as F
+
+    rng = np.random.default_rng(2)
+    B, H, Lq, Lk, dk = 3, 4, 256, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((H, Lq, Lk)) * 0.3, jnp.float32)
+    key_mask = jnp.where(jnp.arange(Lk)[None, :] < 100, 0.0, -1e9).astype(
+        jnp.float32
+    ) * jnp.ones((B, 1))
+    g = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
+
+    o1, m1, l1 = F.flash_attention_forward(
+        q, k, v, pos, key_mask, interpret=True, out_dtype=jnp.float32
+    )
+    o2, m2, l2 = F.flash_attention_forward_v2(
+        q, k, v, pos, key_mask, interpret=True, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-5, atol=2e-5)
+
+    D = jnp.sum(g * o1, axis=-1)
+    g1 = F.flash_attention_backward(
+        q, k, v, pos, key_mask, m1, l1, D, g, interpret=True
+    )
+    g2 = F.flash_attention_backward_v2(
+        q, k, v, pos, key_mask, m1, l1, D, g, interpret=True
+    )
+    for name, a, b in zip(("dq", "dk", "dv", "dpos"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-4, err_msg=name
         )
