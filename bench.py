@@ -445,10 +445,19 @@ def main():
     measure_scale = os.environ.get("BENCH_SCALE", "1") == "1"
 
     # Measured-best defaults (v5e, 2026-08 sweep): remat OFF everywhere
-    # (grad-accum microbatching replaces it at long L), single-key-chunk
-    # custom-VJP attention at L=512 with 8 microbatches.
+    # (grad-accum microbatching replaces it), single-key-chunk custom-VJP
+    # attention (192 at L=188 / 512 at L=512), 4 / 8 microbatches.
     phases = [
-        ("fused", {"BENCH_REMAT": "0"}, True),
+        (
+            "fused",
+            {
+                "BENCH_REMAT": "0",
+                "BENCH_ATTN": "chunked",
+                "BENCH_ATTN_CHUNK": "192",
+                "BENCH_MICROBATCH": "4",
+            },
+            True,
+        ),
         ("ref", {}, True),
     ]
     if measure_long:
