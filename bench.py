@@ -59,6 +59,7 @@ def build(model_name: str):
         attention_chunk=int(os.environ.get("BENCH_ATTN_CHUNK", "128")),
         fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
         flash_kernel=os.environ.get("BENCH_FLASH", "0") == "1",
+        flash_q_block=int(os.environ.get("BENCH_FLASH_QBLOCK", "512")),
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation
@@ -371,12 +372,19 @@ def bench_scale():
     carry, m = chunk_fn(carry, mk_idx(), dc)  # compile
     sync(m["loss"])
 
-    # steady-state refresh, with params advanced by training (fresh inputs)
+    # steady-state refresh, with params advanced by training (fresh inputs).
+    # Drop the old index FIRST: at 8.8M docs holding both (4.3 GB int8
+    # each) through the re-encode overflows one chip's HBM. (The training
+    # loop keeps both on purpose — async double buffering — which is why
+    # OnlineMiningLoop's 8.8M configs want a 2-chip mesh; the bench
+    # measures the single-chip swap-in-place variant.)
+    state_only = carry[0]
+    carry = embeddings = None
     t0 = time.perf_counter()
-    embeddings = refresh(carry[0].params)
+    embeddings = refresh(state_only.params)
     sync(embeddings)
     refresh_s = time.perf_counter() - t0
-    carry = (carry[0], embeddings)
+    carry = (state_only, embeddings)
 
     t0 = time.perf_counter()
     for _ in range(steps // chunk):

@@ -61,11 +61,14 @@ class T5Config:
     # cannot fit (see docs/design.md)
     attention_impl: str = "dense"
     attention_chunk: int = 128
-    # flash_kernel: with attention_impl="chunked", run the FORWARD through
-    # the fused Mosaic kernel (ops/flash.py) when shapes are eligible
-    # (128-aligned lengths, dk 64/128, TPU); the flash-style XLA backward
-    # is shared. Scores never touch HBM in the forward.
+    # flash_kernel: with attention_impl="chunked", run eligible shapes
+    # (128-aligned lengths, dk 64/128, TPU) through the fused Mosaic
+    # kernels in ops/flash.py (v2: fwd + full bwd; scores never touch
+    # HBM). Measured AT PARITY with the XLA chunked path on v5e at monoT5
+    # shapes (2.27 vs 2.29 steps/s, t5-base L=512) — off by default; see
+    # ops/flash.py STATUS.
     flash_kernel: bool = False
+    flash_q_block: int = 128  # v2 query-block rows (512 best at L=512)
     # scan_layers: lax.scan over the (homogeneous) blocks instead of a
     # Python loop — the block body compiles ONCE, cutting t5-base compile
     # time by an order of magnitude. Param layout is unchanged (blocks are
@@ -393,7 +396,7 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
         per_batch = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
     impl = (
-        "pallas"
+        ("pallas", cfg.flash_q_block)
         if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[1], dk)
         else "xla"
     )
@@ -469,7 +472,14 @@ def _flash_forward(C, q, k, v, shared, per_batch):
     return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
 
 
-def _pallas_forward(C, q, k, v, shared, per_batch):
+def _impl_kind(impl):
+    """impl is "xla" | "pallas" | ("pallas", q_block)."""
+    if isinstance(impl, tuple):
+        return impl[0], impl[1]
+    return impl, 128
+
+
+def _pallas_forward(C, q_block, q, k, v, shared, per_batch):
     """Fused Mosaic forward (ops/flash.py): same contract as
     _flash_forward — returns (out (B, Lq, H, dk) fp32, (m, l, out_bhqd))
     so the XLA flash backward below is reused unchanged. The kernel keeps
@@ -492,13 +502,10 @@ def _pallas_forward(C, q, k, v, shared, per_batch):
     else:
         key_mask = per_batch.reshape(B, Lk)
     if flash_v2_eligible(H, Lq, Lk, dk):
-        import os as _os
-
-        qb = int(_os.environ.get("PNTPU_FLASH_QBLOCK", "128"))
         out_bhqd, m, l = flash_attention_forward_v2(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), pos3, key_mask,
-            q_block=qb, out_dtype=jnp.float32,
+            q_block=q_block, out_dtype=jnp.float32,
         )
     else:
         kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
@@ -526,18 +533,24 @@ import functools as _functools
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _flash_core(C, impl, q, k, v, shared, per_batch):
-    fwd = _pallas_forward if impl == "pallas" else _flash_forward
-    out, _ = fwd(C, q, k, v, shared, per_batch)
+    kind, qb = _impl_kind(impl)
+    if kind == "pallas":
+        out, _ = _pallas_forward(C, qb, q, k, v, shared, per_batch)
+    else:
+        out, _ = _flash_forward(C, q, k, v, shared, per_batch)
     return out
 
 
 def _flash_core_fwd(C, impl, q, k, v, shared, per_batch):
-    fwd = _pallas_forward if impl == "pallas" else _flash_forward
-    out, (m, l, out_bhqd) = fwd(C, q, k, v, shared, per_batch)
+    kind, qb = _impl_kind(impl)
+    if kind == "pallas":
+        out, (m, l, out_bhqd) = _pallas_forward(C, qb, q, k, v, shared, per_batch)
+    else:
+        out, (m, l, out_bhqd) = _flash_forward(C, q, k, v, shared, per_batch)
     return out, (q, k, v, shared, per_batch, m, l, out_bhqd)
 
 
-def _pallas_backward(C, res, g):
+def _pallas_backward(C, q_block, res, g):
     """Mosaic flash backward (ops/flash.py): same residual contract as the
     XLA path. Returns zeros for the per-batch key-mask grad — that bias is
     derived from integer attention masks everywhere in this model (encode:
@@ -564,13 +577,10 @@ def _pallas_backward(C, res, g):
     g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
     D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
     if flash_v2_eligible(H, Lq, Lk, dk):
-        import os as _os
-
-        qb = int(_os.environ.get("PNTPU_FLASH_QBLOCK", "128"))
         dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward_v2(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
-            q_block=qb,
+            q_block=q_block,
         )
     else:
         kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
@@ -594,8 +604,9 @@ def _pallas_backward(C, res, g):
 
 
 def _flash_core_bwd(C, impl, res, g):
-    if impl == "pallas":
-        return _pallas_backward(C, res, g)
+    kind, qb = _impl_kind(impl)
+    if kind == "pallas":
+        return _pallas_backward(C, qb, res, g)
     q, k, v, shared, per_batch, m, l, out_bhqd = res
     B, Lq, H, dk = q.shape
     Lk = k.shape[1]

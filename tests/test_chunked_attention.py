@@ -123,7 +123,7 @@ def test_pallas_forward_matches_xla_flash_forward():
         lambda *a, **kw: orig_v2(*a, **{**kw, "interpret": True}),
     ):
         out_p, (m_p, l_p, obh_p) = _pallas_forward(
-            64, q, k, v, shared, per_batch
+            64, 128, q, k, v, shared, per_batch
         )
 
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
