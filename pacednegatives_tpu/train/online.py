@@ -26,6 +26,7 @@ swap (double buffering at the dispatch level — SURVEY.md §7 hard-part 5).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -180,28 +181,43 @@ def make_refresh_fn(
 
     rows = corpus.d_tokens.shape[0]
     per = max(min(rows, mining.refresh_rows_per_call), 1)
-    msk = lambda a, b: (
-        None if corpus.d_mask is None
-        else jax.lax.slice_in_dim(corpus.d_mask, a, b)
-    )
+
+    # Slices insert into a preallocated DONATED buffer rather than a final
+    # jnp.concatenate: the concat would materialize a second full index
+    # while every slice is still alive (2x 4.5 GB at 8.8M docs — an OOM on
+    # one chip). With donation the buffer updates in place and peak extra
+    # memory is one slice. Slice/insert offsets are TRACED so the whole
+    # sweep compiles at most twice (full slices + remainder), not per i.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _slice(arr, i, size):
+        return jax.lax.dynamic_slice_in_dim(arr, i, size, 0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _insert(buf, vals, i):
+        return jax.lax.dynamic_update_slice_in_dim(buf, vals, i, 0)
 
     def refresh(params):
         if rows <= per:
             return refresh_slice(params, corpus.d_tokens, corpus.d_mask)
-        outs = [
-            refresh_slice(
+        bufs = None
+        for i in range(0, rows, per):
+            size = min(i + per, rows) - i
+            ii = jnp.int32(i)
+            out = refresh_slice(
                 params,
-                jax.lax.slice_in_dim(corpus.d_tokens, i, min(i + per, rows)),
-                msk(i, min(i + per, rows)),
+                _slice(corpus.d_tokens, ii, size),
+                None if corpus.d_mask is None
+                else _slice(corpus.d_mask, ii, size),
             )
-            for i in range(0, rows, per)
-        ]
-        if mining.quantize:
-            return (
-                jnp.concatenate([v for v, _ in outs]),
-                jnp.concatenate([s for _, s in outs]),
+            leaves = out if isinstance(out, tuple) else (out,)
+            if bufs is None:
+                bufs = tuple(
+                    jnp.zeros((rows,) + x.shape[1:], x.dtype) for x in leaves
+                )
+            bufs = tuple(
+                _insert(b, x, ii) for b, x in zip(bufs, leaves)
             )
-        return jnp.concatenate(outs)
+        return bufs if mining.quantize else bufs[0]
 
     return refresh
 
