@@ -285,8 +285,10 @@ def bench_scale():
         make_refresh_fn,
     )
 
-    # 1024-aligned "1M" so the quantized Pallas MIPS path engages
-    N = int(os.environ.get("BENCH_SCALE_DOCS", str(1024 * 977)))  # 1,000,448
+    # 4096-aligned "1M" so the quantized Pallas MIPS path engages at its
+    # preferred block size (BENCH_SCALE_DOCS=8806400 = the 8.8M MS MARCO
+    # design point, also 4096-aligned)
+    N = int(os.environ.get("BENCH_SCALE_DOCS", str(4096 * 245)))  # 1,003,520
     NQ, LQ, LD = 4096, 24, 160
     batch_size, n = 16, 7
     steps = int(os.environ.get("BENCH_SCALE_STEPS", "24"))

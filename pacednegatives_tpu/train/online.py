@@ -58,6 +58,17 @@ class OnlineMiningConfig:
     # fp32 embedding transient; slicing bounds both while every slice still
     # dispatches asynchronously (no host sync between slices).
     refresh_rows_per_call: int = 262144
+    # Pallas MIPS kernel tiling (measured at 8.8M docs x 512, v5e):
+    # defaults block_n=4096 / k_per_block=32 take one mining call from
+    # 322 ms (1024 / k'=pool+1) to 58 ms — per-block top-k' is k' VPU
+    # rounds per block, and per-grid-iteration overhead dominates small
+    # blocks. Larger blocks exceed the scoped-VMEM budget (int8 block +
+    # bf16 dequant). Near-exact: the global top-k is only wrong if > k'
+    # of the true top-k fall in ONE block, vanishingly unlikely; the
+    # consumer is a difficulty-percentile sampler anyway. block_n falls
+    # back to the largest power-of-two divisor of the corpus size.
+    k_per_block: int = 32
+    mips_block_n: int = 4096
 
 
 def make_online_fused_step(
@@ -102,12 +113,17 @@ def make_online_fused_step(
         k = mining.pool_size + (1 if mining.exclude_positive else 0)
         if mining.quantize:
             vals, scales = embeddings
-            if vals.shape[0] % 1024 == 0 and jax.default_backend() == "tpu":
+            bn = mining.mips_block_n
+            while bn > 1024 and vals.shape[0] % bn:
+                bn //= 2
+            if vals.shape[0] % bn == 0 and jax.default_backend() == "tpu":
                 # int8 stays in HBM; dequantization fuses into the score
                 # matmul in VMEM (never materializes the fp32 index — at
                 # 1M docs x 512 that transient alone would be 2 GB/step)
                 _, idx = mips_topk_pallas_quantized(
-                    q_emb.astype(jnp.float32), vals, scales, k
+                    q_emb.astype(jnp.float32), vals, scales, k,
+                    block_n=bn,
+                    k_per_block=min(mining.k_per_block, k),
                 )
             else:
                 docs_fp = vals.astype(jnp.float32) * scales[:, None]
