@@ -354,8 +354,13 @@ def bench_scale():
         leaf = jax.tree_util.tree_leaves(tree)[-1]
         return float(np.asarray(leaf.reshape(-1)[-1]))
 
+    import sys as _sys
+
+    log = lambda msg: print(f"[scale] {msg}", file=_sys.stderr, flush=True)
+    t0 = time.perf_counter()
     embeddings = refresh(state.params)  # compile + first encode
     sync(embeddings)
+    log(f"first refresh (incl compile): {time.perf_counter() - t0:.0f}s")
 
     chunk = max(steps // 3, 1)
     steps = (steps // chunk) * chunk
@@ -371,8 +376,10 @@ def bench_scale():
         rng.integers(0, n_pairs, size=(chunk, batch_size)).astype(np.int32)
     )
     carry = (state, embeddings)
+    t0 = time.perf_counter()
     carry, m = chunk_fn(carry, mk_idx(), dc)  # compile
     sync(m["loss"])
+    log(f"chunk compile+run: {time.perf_counter() - t0:.0f}s")
 
     # steady-state refresh, with params advanced by training (fresh inputs).
     # Drop the old index FIRST: at 8.8M docs holding both (4.3 GB int8
@@ -386,6 +393,7 @@ def bench_scale():
     embeddings = refresh(state_only.params)
     sync(embeddings)
     refresh_s = time.perf_counter() - t0
+    log(f"steady refresh: {refresh_s:.0f}s")
     carry = (state_only, embeddings)
 
     t0 = time.perf_counter()
