@@ -101,10 +101,12 @@ def mips_topk_pallas(
     N = docs.shape[0]
     if N % block_n:
         raise ValueError(f"N={N} not a multiple of block_n={block_n}")
+    num_blocks = N // block_n
     if k_per_block is None:
         k_per_block = min(k, block_n)
+    # the merge needs num_blocks * k' >= k candidates
+    k_per_block = max(k_per_block, -(-k // num_blocks))
     k_per_block = min(k_per_block, block_n)
-    num_blocks = N // block_n
 
     kernel = functools.partial(_mips_block_kernel, k_per_block=k_per_block)
     cand_v, cand_i = pl.pallas_call(
@@ -173,10 +175,12 @@ def mips_topk_pallas_quantized(
     N = d_values.shape[0]
     if N % block_n:
         raise ValueError(f"N={N} not a multiple of block_n={block_n}")
+    num_blocks = N // block_n
     if k_per_block is None:
         k_per_block = min(k, block_n)
+    # the merge needs num_blocks * k' >= k candidates
+    k_per_block = max(k_per_block, -(-k // num_blocks))
     k_per_block = min(k_per_block, block_n)
-    num_blocks = N // block_n
 
     kernel = functools.partial(_quant_block_kernel, k_per_block=k_per_block)
     cand_v, cand_i = pl.pallas_call(

@@ -177,3 +177,27 @@ def test_refreshed_returns_new_index(data):
     v1, i1 = idx.topk(q, 5)
     v2, i2 = idx2.topk(q, 5)
     np.testing.assert_array_equal((np.asarray(i1) + 1) % 2048, np.asarray(i2))
+
+
+def test_pallas_quantized_single_block_small_kpb():
+    """k_per_block below ceil(k / num_blocks) must be raised so the merge
+    has enough candidates (regression: 4096-doc corpus + block_n=4096 +
+    k=65 + k'=32 crashed lax.top_k)."""
+    from pacednegatives_tpu.ops.mips import (
+        mips_topk_exact,
+        mips_topk_pallas_quantized,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    N, D, B, k = 4096, 64, 4, 65
+    docs = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    vals, scales = quantize_embeddings(docs)
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v, i = mips_topk_pallas_quantized(
+        q, vals, scales, k, block_n=4096, k_per_block=32, interpret=True
+    )
+    assert v.shape == (B, k) and i.shape == (B, k)
+    deq = vals.astype(jnp.float32) * scales[:, None]
+    ve, ie = mips_topk_exact(q, deq, k)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]), np.asarray(ie[:, 0]))
