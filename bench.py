@@ -25,12 +25,26 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: verified to work through the axon tunnel
+# (fresh-process recompile of a cached program drops 0.77s -> 0.03s).
+# The first full bench run on a box pays the real compile cost (~4 min for a
+# t5-base fused chunk); every later run — including the driver's end-of-round
+# run in the same working tree — hits the cache and fits the wall budget
+# easily. Disable with BENCH_COMPILE_CACHE=0.
+if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build(model_name: str):
@@ -285,10 +299,12 @@ def bench_scale():
         make_refresh_fn,
     )
 
-    # 4096-aligned "1M" so the quantized Pallas MIPS path engages at its
-    # preferred block size (BENCH_SCALE_DOCS=8806400 = the 8.8M MS MARCO
-    # design point, also 4096-aligned)
-    N = int(os.environ.get("BENCH_SCALE_DOCS", str(4096 * 245)))  # 1,003,520
+    # Default is a 4096-aligned ~250k-doc quick point so the default bench
+    # fits the driver's wall budget; BENCH_SCALE_DOCS=1003520 (1M) and
+    # 8806400 (the 8.8M MS MARCO design point) are the measured scale points
+    # recorded in ROADMAP.md. All values 4096-aligned so the quantized
+    # Pallas MIPS path engages at its preferred block size.
+    N = int(os.environ.get("BENCH_SCALE_DOCS", str(4096 * 61)))  # 249,856
     NQ, LQ, LD = 4096, 24, 160
     batch_size, n = 16, 7
     steps = int(os.environ.get("BENCH_SCALE_STEPS", "24"))
@@ -444,85 +460,12 @@ def run_phase(phase: str):
         print(json.dumps({"phase": "ref", "steps_per_sec": sps}))
 
 
-def main():
-    import subprocess
-    import sys
-
-    phase = os.environ.get("BENCH_PHASE")
-    if phase:
-        run_phase(phase)
-        return
-
-    model = os.environ.get("BENCH_MODEL", "base")
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-    n = int(os.environ.get("BENCH_NEGS", "7"))
-    # also measure the reference's full 512-token truncation budget
-    # (old/lce_wrapper.py:70-71) — the flagship long config — unless disabled
-    measure_long = os.environ.get("BENCH_LONG", "1") == "1"
-    # 1M-doc online-mining scale smoke (refresh seconds + mined steps/sec)
-    measure_scale = os.environ.get("BENCH_SCALE", "1") == "1"
-
-    # Measured-best defaults (v5e, 2026-08 sweep): remat OFF everywhere
-    # (grad-accum microbatching replaces it), single-key-chunk custom-VJP
-    # attention (192 at L=188 / 512 at L=512), 4 / 8 microbatches.
-    phases = [
-        (
-            "fused",
-            {
-                "BENCH_REMAT": "0",
-                "BENCH_ATTN": "chunked",
-                "BENCH_ATTN_CHUNK": "192",
-                "BENCH_MICROBATCH": "4",
-            },
-            True,
-        ),
-        ("ref", {}, True),
-    ]
-    if measure_long:
-        phases.append(
-            (
-                "fused512",
-                {
-                    "BENCH_DOC_TOKENS": "484",
-                    "BENCH_ATTN": os.environ.get("BENCH_LONG_ATTN", "chunked"),
-                    "BENCH_ATTN_CHUNK": "512",
-                    "BENCH_REMAT": "0",
-                    "BENCH_MICROBATCH": os.environ.get(
-                        "BENCH_LONG_MICROBATCH", "8"
-                    ),
-                },
-                False,
-            )
-        )
-    if measure_scale:
-        phases.append(("scale", {}, False))
-
-    results = {}
-    for ph, extra_env, required in phases:
-        env = dict(os.environ, BENCH_PHASE=ph)
-        for k, v in extra_env.items():
-            # phase-defining keys always apply; tuning knobs are defaults
-            # the caller's environment may override
-            if k == "BENCH_DOC_TOKENS" or k not in os.environ:
-                env[k] = v
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
-        for line in proc.stdout.splitlines():
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if rec.get("phase") == ph:
-                results[ph] = rec
-        if ph not in results:
-            msg = f"phase {ph} failed:\n{proc.stdout[-500:]}\n{proc.stderr[-2000:]}"
-            if required:
-                raise SystemExit(msg)
-            print(json.dumps({"phase": ph, "skipped": msg[-300:]}),
-                  file=sys.stderr)
-
+def _emit(results, batch_size, n, model, skipped):
+    """Build and print the best headline record available from the phases
+    that have finished so far. Called after EVERY phase: the last complete
+    JSON line on stdout is always the most complete record, so a run killed
+    by an external timeout still leaves a parseable (partial) record — the
+    failure mode that produced an empty BENCH_r02.json cannot recur."""
     from pacednegatives_tpu.utils.profiling import device_peak_flops
 
     peak = os.environ.get("BENCH_PEAK_TFLOPS")
@@ -540,25 +483,44 @@ def main():
             out["mfu"] = round(rec["flops_per_step"] * sps / peak, 3)
         return out
 
+    if "fused" not in results:
+        return
     fused = perf(results["fused"])
-    ref_sps = results["ref"]["steps_per_sec"]
     value = fused["neg_per_sec"]
-    baseline = ref_sps * batch_size * n
     record = {
         "metric": "negatives_scored_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "neg/s/chip",
-        "vs_baseline": round(value / baseline, 2),
         "model": model,
         "batch_size": batch_size,
         "n_negatives": n,
         "fused_steps_per_sec": fused["steps_per_sec"],
         "prompt_len": fused["prompt_len"],
         "model_tflops_per_sec": fused["model_tflops_per_sec"],
-        "reference_style_steps_per_sec": round(ref_sps, 3),
         "device": str(jax.devices()[0]),
         "final_loss": round(results["fused"]["final_loss"], 4),
     }
+    if "ref" in results:
+        ref_sps = results["ref"]["steps_per_sec"]
+        baseline = ref_sps * batch_size * n
+        record["vs_baseline"] = round(value / baseline, 2)
+        record["reference_style_steps_per_sec"] = round(ref_sps, 3)
+        # Derived reference-equivalent multiple: the same-chip jitted
+        # reimplementation of the reference step is a deliberate LOWER BOUND
+        # on the real reference's cost (it omits the torch DataLoader-worker
+        # processes, pin/copy, per-layer optimizer loop and Lightning
+        # overhead). docs/baseline_methodology.md derives the correction
+        # factor from reference-stack measurements; both numbers are
+        # reported so the x-vs-reference claim is auditable.
+        try:
+            meth = json.load(open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "docs", "baseline_overheads.json")))
+            record["vs_reference_derived"] = round(
+                record["vs_baseline"] * meth["overhead_multiple"], 2)
+            record["baseline_methodology"] = "docs/baseline_methodology.md"
+        except (OSError, KeyError, ValueError):
+            pass
     if "mfu" in fused:
         record["mfu"] = fused["mfu"]
         record["peak_tflops_assumed"] = round(peak / 1e12, 0)
@@ -570,7 +532,119 @@ def main():
             {k: v for k, v in results["scale"].items()
              if k.startswith("scale_")}
         )
-    print(json.dumps(record))
+    if skipped:
+        record["skipped_phases"] = sorted(skipped)
+    print(json.dumps(record), flush=True)
+    return record
+
+
+def main():
+    import subprocess
+
+    phase = os.environ.get("BENCH_PHASE")
+    if phase:
+        run_phase(phase)
+        return
+
+    t_start = time.monotonic()
+    # Wall budget for the WHOLE bench (seconds). Optional phases are skipped
+    # once the budget runs short, and every subprocess gets a hard timeout,
+    # so the parent always finishes and always prints a record.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+    deadline = t_start + budget
+
+    model = os.environ.get("BENCH_MODEL", "base")
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    n = int(os.environ.get("BENCH_NEGS", "7"))
+    # also measure the reference's full 512-token truncation budget
+    # (old/lce_wrapper.py:70-71) — the flagship long config — unless disabled
+    measure_long = os.environ.get("BENCH_LONG", "1") == "1"
+    # online-mining scale smoke (refresh seconds + mined steps/sec)
+    measure_scale = os.environ.get("BENCH_SCALE", "1") == "1"
+
+    # Measured-best defaults (v5e, 2026-08 sweep): remat OFF everywhere
+    # (grad-accum microbatching replaces it), single-key-chunk custom-VJP
+    # attention (192 at L=188 / 512 at L=512), 4 / 8 microbatches.
+    # (phase, extra_env, required, est_cold_s) — est is the cold-compile
+    # worst case used for budget-based skipping; warm-cache runs are ~5x
+    # faster thanks to the persistent compilation cache.
+    phases = [
+        (
+            "fused",
+            {
+                "BENCH_REMAT": "0",
+                "BENCH_ATTN": "chunked",
+                "BENCH_ATTN_CHUNK": "192",
+                "BENCH_MICROBATCH": "4",
+            },
+            True,
+            420,
+        ),
+        ("ref", {}, True, 300),
+    ]
+    if measure_long:
+        phases.append(
+            (
+                "fused512",
+                {
+                    "BENCH_DOC_TOKENS": "484",
+                    "BENCH_ATTN": os.environ.get("BENCH_LONG_ATTN", "chunked"),
+                    "BENCH_ATTN_CHUNK": "512",
+                    "BENCH_REMAT": "0",
+                    "BENCH_MICROBATCH": os.environ.get(
+                        "BENCH_LONG_MICROBATCH", "8"
+                    ),
+                },
+                False,
+                420,
+            )
+        )
+    if measure_scale:
+        phases.append(("scale", {}, False, 300))
+
+    results = {}
+    skipped = {}
+    for ph, extra_env, required, est in phases:
+        remaining = deadline - time.monotonic()
+        if not required and remaining < est:
+            skipped[ph] = f"budget: {remaining:.0f}s left < {est}s estimate"
+            print(json.dumps({"phase": ph, "skipped": skipped[ph]}),
+                  file=sys.stderr, flush=True)
+            continue
+        env = dict(os.environ, BENCH_PHASE=ph)
+        for k, v in extra_env.items():
+            # phase-defining keys always apply; tuning knobs are defaults
+            # the caller's environment may override
+            if k == "BENCH_DOC_TOKENS" or k not in os.environ:
+                env[k] = v
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=max(remaining, 120 if required else 60),
+            )
+            out_text, err_text = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            out_text = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err_text = f"phase subprocess timed out after {e.timeout:.0f}s"
+        for line in out_text.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("phase") == ph:
+                results[ph] = rec
+        if ph not in results:
+            msg = f"phase {ph} failed:\n{out_text[-500:]}\n{err_text[-2000:]}"
+            if required and ph == "fused":
+                raise SystemExit(msg)
+            skipped[ph] = msg[-300:]
+            print(json.dumps({"phase": ph, "skipped": msg[-300:]}),
+                  file=sys.stderr, flush=True)
+        # Emit the cumulative record NOW — each phase's completion makes the
+        # last stdout line strictly more complete.
+        _emit(results, batch_size, n, model, skipped)
 
 
 if __name__ == "__main__":
