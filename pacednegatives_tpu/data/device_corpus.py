@@ -84,9 +84,19 @@ class DeviceCorpus:
                                   store.d_tokens.max(initial=0)) < 2**15:
             tok_dtype = np.int16
         if not store_masks:
-            # token-derived masks require pad positions to hold pad_id
-            assert (store.q_tokens[store.q_mask == 0] == store.pad_id).all()
-            assert (store.d_tokens[store.d_mask == 0] == store.pad_id).all()
+            # token-derived masks require pad positions to hold pad_id;
+            # a ValueError (not assert) so the check survives python -O —
+            # silently wrong attention masks are the worst failure mode here
+            if not (store.q_tokens[store.q_mask == 0] == store.pad_id).all() \
+                    or not (
+                        store.d_tokens[store.d_mask == 0] == store.pad_id
+                    ).all():
+                raise ValueError(
+                    "store_masks=False requires every padded position to "
+                    "hold pad_id (masks are re-derived as tokens != pad_id "
+                    "on device); this store has non-pad tokens at masked "
+                    "positions — build with store_masks=True instead"
+                )
         return cls(
             q_tokens=put(store.q_tokens.astype(tok_dtype)),
             q_mask=put(store.q_mask.astype(np.int8)) if store_masks else None,

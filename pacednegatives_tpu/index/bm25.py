@@ -28,20 +28,41 @@ QE_KL = 2
 QE_RM3 = 3
 
 
+def _make(force: bool = False) -> bool:
+    cmd = ["make", "-C", os.path.abspath(_NATIVE_DIR)]
+    if force:
+        cmd.insert(1, "-B")
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
 def _load_lib():
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_LIB_PATH) and not _make():
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        _bind(lib)
     except OSError:
         return None
+    except AttributeError:
+        # A stale liblexical.so from an older commit lacks newer symbols
+        # (e.g. lex_stem). Force a rebuild once and retry before giving up
+        # to the NumPy fallback.
+        if not _make(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+        except (OSError, AttributeError):
+            return None
+    return lib
+
+
+def _bind(lib) -> None:
+    """Declare ctypes signatures; raises AttributeError on missing symbols."""
     lib.lex_create.argtypes = [ctypes.c_int]
     lib.lex_create.restype = ctypes.c_void_p
     lib.lex_stem.argtypes = [
@@ -66,7 +87,6 @@ def _load_lib():
         ctypes.c_double, ctypes.c_double,
     ]
     lib.lex_score_pair.restype = ctypes.c_double
-    return lib
 
 
 _LIB = None

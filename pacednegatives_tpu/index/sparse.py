@@ -47,6 +47,19 @@ class SparseIndex:
         keep = w > 0
         docs, t, w = docs[keep], t[keep], w[keep]
 
+        # Merge duplicate (doc, term) entries by summing their weights.
+        # lax.top_k output never produces duplicates, but build() is a public
+        # API over arbitrary (term_ids, weights) — and search()'s fancy-index
+        # += relies on per-term doc rows being unique.
+        key = t.astype(np.int64) * N + docs
+        uniq, inv = np.unique(key, return_inverse=True)
+        if len(uniq) != len(key):
+            w_merged = np.zeros(len(uniq), np.float32)
+            np.add.at(w_merged, inv, w)
+            t = (uniq // N).astype(t.dtype)
+            docs = (uniq % N).astype(np.int32)
+            w = w_merged
+
         order = np.argsort(t, kind="stable")  # term-major, stable by doc
         docs, t, w = docs[order], t[order], w[order]
         term_start = np.zeros(num_terms + 1, np.int64)
@@ -84,9 +97,9 @@ class SparseIndex:
             s, e = self.term_start[t], self.term_start[t + 1]
             if s == e:
                 continue
-            # doc rows are unique within one term's postings (top-k term ids
-            # per doc are distinct), so fancy-index += is exact and much
-            # faster than np.add.at
+            # doc rows are unique within one term's postings (build() merges
+            # duplicate (doc, term) entries), so fancy-index += is exact and
+            # much faster than np.add.at
             acc[self.post_docs[s:e]] += (
                 qw * self.scale * self.post_imps[s:e].astype(np.float32)
             )

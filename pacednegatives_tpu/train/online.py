@@ -126,6 +126,16 @@ def make_online_fused_step(
                     k_per_block=min(mining.k_per_block, k),
                 )
             else:
+                import warnings
+
+                warnings.warn(
+                    "quantized MIPS fallback: dequantizing the FULL fp32 "
+                    f"index per step (rows={vals.shape[0]} not a multiple of "
+                    f"a supported block_n, or backend != tpu). At MS MARCO "
+                    "scale this is a multi-GB HBM transient — pad the corpus "
+                    "row count to a multiple of 4096 at build time.",
+                    stacklevel=2,
+                )
                 docs_fp = vals.astype(jnp.float32) * scales[:, None]
                 _, idx = topk(q_emb.astype(jnp.float32), docs_fp, k)
         else:

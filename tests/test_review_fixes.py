@@ -194,3 +194,64 @@ def test_teacher_channels_numeric_order():
     ts = TeacherScores(scores)
     v = ts.lookup("q", "d", neg=False)
     np.testing.assert_allclose(v, [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11])
+
+
+def test_sparse_build_merges_duplicate_doc_term_entries():
+    """Advisor r2: build() is a public API over arbitrary (term_ids, weights);
+    duplicate term ids within one doc must merge (sum), not silently drop
+    score mass in search()'s fancy-index accumulation."""
+    from pacednegatives_tpu.index.sparse import SparseIndex
+
+    # doc 0 lists term 3 twice with weights 1.0 and 2.0 -> must score as 3.0
+    term_ids = np.array([[3, 3], [3, 5]], np.int32)
+    weights = np.array([[1.0, 2.0], [1.5, 1.0]], np.float32)
+    idx = SparseIndex.build(term_ids, weights, num_terms=8, quantize=False)
+    docs, scores = idx.search(np.array([3], np.int32),
+                              np.array([1.0], np.float32), k=10)
+    np.testing.assert_array_equal(docs, [0, 1])
+    np.testing.assert_allclose(scores, [3.0, 1.5])
+
+
+def test_device_corpus_mask_invariant_raises_not_asserts():
+    """Advisor r2: the derived-mask invariant must survive python -O."""
+    import dataclasses
+
+    import pytest
+
+    from pacednegatives_tpu.data import (
+        DeviceCorpus, HashTokenizer, TextCorpus, TokenizedStore, TripletStore,
+    )
+
+    tok = HashTokenizer(vocab_size=512)
+    corpus = TextCorpus.synthetic(num_docs=8, num_queries=4, seed=0)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=4, n_neg=2, seed=0)
+    # corrupt the mask: mark a non-pad token position as padded
+    bad_m = store.d_mask.copy()
+    assert store.d_tokens[0, -1] != store.pad_id
+    bad_m[0, -1] = 0
+    store = dataclasses.replace(store, d_mask=bad_m)
+    with pytest.raises(ValueError, match="pad_id"):
+        DeviceCorpus.build(store, triples)
+
+
+def test_stale_native_lib_triggers_rebuild(monkeypatch):
+    """Advisor r2 (medium): a liblexical.so missing newer symbols must
+    trigger a forced rebuild, not an uncaught AttributeError."""
+    from pacednegatives_tpu.index import bm25 as bm25mod
+
+    real_bind = bm25mod._bind
+    calls = {"n": 0}
+
+    def flaky_bind(lib):
+        calls["n"] += 1
+        if calls["n"] == 1:  # simulate the stale .so's missing symbol
+            raise AttributeError("lex_stem not found")
+        return real_bind(lib)
+
+    monkeypatch.setattr(bm25mod, "_bind", flaky_bind)
+    lib = bm25mod._load_lib()
+    if lib is None:  # no toolchain in env: fallback path, nothing to check
+        return
+    assert calls["n"] == 2  # rebuilt and re-bound
+    assert hasattr(lib, "lex_stem")
