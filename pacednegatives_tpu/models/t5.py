@@ -75,11 +75,26 @@ class T5Config:
     # stacked inside the trace; XLA elides the copies where layouts allow).
     scan_layers: bool = False
     # fused_qkv: project q|k|v (self) / k|v (cross) in one wide GEMM.
-    # MEASURED SLOWER on v5e at monoT5 shapes (6.56 vs 6.99 steps/s at
-    # L=188: the use-site weight concat defeats XLA's per-projection
-    # fusion in the backward pass), so default off; kept as a flag for
-    # other shapes/hardware.
+    # MEASURED SLOWER on v5e at monoT5 shapes in BOTH variants: use-site
+    # weight concat 6.56 vs 6.99 steps/s (round 2), and the hoisted
+    # once-per-step concat via fuse_attention_params + grad re-split
+    # 6.85 vs 7.30 (round 3) — the extra dqkv concat/split traffic in the
+    # backward outweighs the wider-GEMM pipelining. Default off; kept as a
+    # correctness-tested flag for other shapes/hardware
+    # (tests/test_microbatch.py::test_fused_qkv_hoisted_matches_unfused).
     fused_qkv: bool = False
+    # packed_heads: compute attention for HEAD PAIRS as one dense GEMM by
+    # concatenating two heads' q along dk (contraction 64 -> 128) against
+    # BLOCK-DIAGONAL K'/V', softmax per head block. REJECTED on v5e:
+    # (a) at the XLA graph level the block-diag construction lowers to
+    # pathological data-formatting/broadcast ops (2.82 vs 7.30 steps/s at
+    # L=188, t5-base), and (b) the packing is not free anyway — the MXU
+    # multiplies the structural zero blocks, doubling QK/AV MACs, so the
+    # occupancy gain is a wash by construction. Kept as a tested
+    # correctness path (tests/test_chunked_attention.py) and a record of
+    # the negative result; see also ops/flash.py STATUS for the kernel-
+    # level history of the same idea.
+    packed_heads: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -313,11 +328,21 @@ def attention(
     inner = H * dk
 
     # Fuse the projections into one wide matmul (q|k|v for self-attention,
-    # k|v for cross): the activations stream from HBM once instead of three
-    # times, and one (M, D)@(D, 3*inner) GEMM beats three (M, D)@(D, inner)
-    # on the MXU. Parameters stay separate (checkpoint layout parity); the
-    # per-layer weight concat is a ~MB-scale transient.
-    if cfg.fused_qkv and x is kv:
+    # k|v for cross): one (M, D)@(D, 3*inner) GEMM at K=768/N=2304 runs at
+    # FFN-like ~85-93% MXU efficiency on v5e where three (M, D)@(D, 768)
+    # GEMMs run at ~64% (narrow K x N products pipeline poorly). The fused
+    # weight must be PRE-CONCATENATED once per step (fuse_attention_params,
+    # hoisted with the compute-dtype cast in train/step.py) — a use-site
+    # concat inside the microbatch scan re-materializes it per microbatch
+    # and measures SLOWER (6.80 vs 7.30 steps/s at L=188).
+    if "qkv" in p:
+        qkv = jnp.einsum("bld,de->ble", x, p["qkv"].astype(dt))
+        q, k, v = jnp.split(qkv, 3, axis=2)
+    elif "kv" in p:
+        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
+        kvp = jnp.einsum("bld,de->ble", kv, p["kv"].astype(dt))
+        k, v = jnp.split(kvp, 2, axis=2)
+    elif cfg.fused_qkv and x is kv:
         w = jnp.concatenate([p["q"], p["k"], p["v"]], axis=1).astype(dt)
         qkv = jnp.einsum("bld,de->ble", x, w)
         q, k, v = jnp.split(qkv, 3, axis=2)
@@ -342,7 +367,15 @@ def attention(
             "avoid. Use dense attention or disable dropout."
         )
     if cfg.attention_impl == "chunked":
-        out = _chunked_attention(cfg, q, k, v, bias)
+        if (
+            cfg.packed_heads
+            and H % 2 == 0
+            and deterministic
+            and Lk <= cfg.attention_chunk
+        ):
+            out = _packed_pair_attention(cfg, q, k, v, bias)
+        else:
+            out = _chunked_attention(cfg, q, k, v, bias)
     else:
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -356,6 +389,80 @@ def attention(
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
     out = out.reshape(B, Lq, H * dk)
     return jnp.einsum("bli,id->bld", out, p["o"].astype(dt))
+
+
+def _packed_pair_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
+    """Head-PAIR attention as dense block-diagonal GEMMs (cfg.packed_heads).
+
+    Per-head monoT5-shape einsums (M=N=L~188, K=dk=64) run at ~20-25% MXU
+    efficiency on v5e: K=64 fills half the 128-wide contraction lanes and
+    L=188 fills 73% of two 128 tiles. This path computes TWO heads per GEMM
+    with zero wasted flops:
+
+      Q' = [q_h0 | q_h1]                 (B, HP, Lq, 2dk)   K' doubled
+      K' = [[k_h0, 0], [0, k_h1]]        (B, HP, 2Lk, 2dk)  block-diagonal
+      S' = Q' K'^T = [S_h0 | S_h1]       (B, HP, Lq, 2Lk)   N tiles ~full
+
+    softmax runs per head block (reshape (..., 2, Lk) — free, row-major),
+    and AV uses the same trick with V' block-diagonal so the contraction is
+    2Lk wide. The zero blocks are constructed, not parameters, so autodiff
+    routes their cotangents back through the concat slices for free.
+    Numerically identical to dense attention (same flops, same order up to
+    fp32 reduction grouping); scores materialize like the dense path, so
+    this is for short-sequence regimes (gated on Lk <= attention_chunk).
+    """
+    B, Lq, H, dk = q.shape
+    Lk = k.shape[1]
+    HP = H // 2
+    dt = cfg.dtype
+    # (B, L, H, dk) -> (B, HP, 2, L, dk); head h = 2*hp + i throughout
+    qh = q.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lq, dk)
+    kh = k.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lk, dk)
+    vh = v.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lk, dk)
+    q2 = jnp.concatenate([qh[:, :, 0], qh[:, :, 1]], axis=-1)
+    z = jnp.zeros_like(kh[:, :, 0])
+    k2 = jnp.concatenate(
+        [
+            jnp.concatenate([kh[:, :, 0], z], axis=-1),
+            jnp.concatenate([z, kh[:, :, 1]], axis=-1),
+        ],
+        axis=2,
+    )
+    v2 = jnp.concatenate(
+        [
+            jnp.concatenate([vh[:, :, 0], z], axis=-1),
+            jnp.concatenate([z, vh[:, :, 1]], axis=-1),
+        ],
+        axis=2,
+    )
+    s = jnp.einsum(
+        "bple,bpke->bplk", q2, k2, preferred_element_type=jnp.float32
+    ).reshape(B, HP, Lq, 2, Lk)
+    # biases added per component to avoid materializing their broadcast sum
+    shared, per_batch = bias if isinstance(bias, tuple) else (bias, None)
+    for b4 in (shared, per_batch):
+        if b4 is None:
+            continue
+        if b4.ndim == 3:
+            b4 = b4[None]
+        if b4.shape[1] == 1:  # head-broadcast (e.g. key padding mask)
+            s = s + b4[:, :, :, None, :].astype(jnp.float32)
+        else:
+            bb = b4.reshape(b4.shape[0], HP, 2, b4.shape[2], Lk)
+            s = s + bb.transpose(0, 1, 3, 2, 4).astype(jnp.float32)
+    m = s.max(axis=-1, keepdims=True)
+    p_ = jnp.exp(s - m)
+    l = jnp.maximum(p_.sum(axis=-1, keepdims=True), 1e-30)
+    p_ = (p_ / l).astype(dt).reshape(B, HP, Lq, 2 * Lk)
+    o2 = jnp.einsum(
+        "bplk,bpke->bple", p_, v2, preferred_element_type=jnp.float32
+    )
+    out = (
+        o2.reshape(B, HP, Lq, 2, dk)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, Lq, H, dk)
+    )
+    return out.astype(dt)
 
 
 def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
@@ -806,6 +913,74 @@ def unstack_params(params: PyTree) -> PyTree:
     return out
 
 
+def fuse_attention_params(params: PyTree) -> PyTree:
+    """Concatenate per-block projection weights for wide-GEMM attention:
+    self-attention q|k|v -> "qkv" (d, 3*inner), cross-attention k|v -> "kv"
+    (d, 2*inner); the originals are dropped from the returned tree.
+
+    Call ONCE PER STEP (train/step.py hoists it with the compute-dtype
+    cast): on v5e the merged (768, 2304) projection GEMM pipelines like the
+    FFN matmuls (~85-93% MXU) where the three narrow (768, 768) ones reach
+    only ~64%. Gradients over the fused tree are split back to the
+    reference q/k/v layout by split_attention_grads, so optimizer state and
+    checkpoints keep per-projection parity."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for name, v in d.items():
+            if name == "self_attn" and isinstance(v, dict) and "q" in v:
+                v = {
+                    **{k2: v2 for k2, v2 in v.items()
+                       if k2 not in ("q", "k", "v")},
+                    "qkv": jnp.concatenate([v["q"], v["k"], v["v"]], axis=-1),
+                }
+            elif name == "cross_attn" and isinstance(v, dict) and "k" in v:
+                v = {
+                    **{k2: v2 for k2, v2 in v.items()
+                       if k2 not in ("k", "v")},
+                    "kv": jnp.concatenate([v["k"], v["v"]], axis=-1),
+                }
+            else:
+                v = walk(v)
+            out[name] = v
+        return out
+
+    return walk(params)
+
+
+def split_attention_grads(grads: PyTree) -> PyTree:
+    """Inverse of fuse_attention_params for gradient trees: split "qkv" /
+    "kv" cotangents back into per-projection leaves (lane-aligned slices)."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for name, v in d.items():
+            if isinstance(v, dict) and "qkv" in v:
+                g = v["qkv"]
+                i = g.shape[-1] // 3
+                v = {
+                    **{k2: v2 for k2, v2 in v.items() if k2 != "qkv"},
+                    "q": g[..., :i], "k": g[..., i:2 * i], "v": g[..., 2 * i:],
+                }
+            elif isinstance(v, dict) and "kv" in v:
+                g = v["kv"]
+                i = g.shape[-1] // 2
+                v = {
+                    **{k2: v2 for k2, v2 in v.items() if k2 != "kv"},
+                    "k": g[..., :i], "v": g[..., i:],
+                }
+            else:
+                v = walk(v)
+            out[name] = v
+        return out
+
+    return walk(grads)
+
+
 def _rel_bias(stack: dict) -> jax.Array:
     """Relative-attention bias for a stack, either layout."""
     if "rel_bias" in stack:
@@ -917,14 +1092,13 @@ def encode(
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k1, deterministic)
 
-    if cfg.scan_layers or "blocks" in enc:
-        # native stacked layout ("blocks" present) feeds scan directly;
+    if cfg.scan_layers and "blocks" not in enc:
         # legacy block_i layout is stacked inside the trace (≈9% step tax)
-        stacked = (
-            enc["blocks"]
-            if "blocks" in enc
-            else _stack_blocks([enc[f"block_{i}"] for i in range(cfg.num_layers)])
-        )
+        enc = {**enc, "blocks": _stack_blocks(
+            [enc[f"block_{i}"] for i in range(cfg.num_layers)]
+        )}
+    if "blocks" in enc and cfg.scan_layers:
+        stacked = enc["blocks"]
         use_keys = dropout_key is not None and not deterministic
         layer_keys = (
             jnp.stack([jnp.stack([keys[2 * i], keys[2 * i + 1]]) for i in range(cfg.num_layers)])
@@ -941,6 +1115,19 @@ def encode(
         if cfg.remat:
             body = jax.checkpoint(body, policy=_remat_policy(cfg))
         x, _ = jax.lax.scan(body, x, (stacked, layer_keys))
+    elif "blocks" in enc:
+        # Unrolled loop over the STACKED layout: static per-layer slices the
+        # compiler folds away. The lax.scan path stages every sliced layer
+        # parameter through scratch memory with tiny async copies each
+        # iteration — measured ~7,000 copy-done events (~11 ms) per train
+        # step at t5-base; unrolling removes them. scan_layers=True trades
+        # that time back for compile-time/HLO-size savings.
+        for i in range(cfg.num_layers):
+            blk = jax.tree_util.tree_map(lambda a: a[i], enc["blocks"])
+            blk_fn = block
+            if cfg.remat:
+                blk_fn = jax.checkpoint(block, policy=_remat_policy(cfg))
+            x = blk_fn(x, blk, bias, keys[2 * i], keys[2 * i + 1])
     else:
         for i in range(cfg.num_layers):
             blk_fn = block
@@ -1008,14 +1195,12 @@ def decode(
         m = mlp(blk["mlp"], cfg, h)
         return x + _dropout(m, cfg.dropout_rate, k2, deterministic)
 
-    if cfg.scan_layers or "blocks" in dec:
-        stacked = (
-            dec["blocks"]
-            if "blocks" in dec
-            else _stack_blocks(
-                [dec[f"block_{i}"] for i in range(cfg.num_decoder_layers)]
-            )
-        )
+    if cfg.scan_layers and "blocks" not in dec:
+        dec = {**dec, "blocks": _stack_blocks(
+            [dec[f"block_{i}"] for i in range(cfg.num_decoder_layers)]
+        )}
+    if "blocks" in dec and cfg.scan_layers:
+        stacked = dec["blocks"]
         use_keys = dropout_key is not None and not deterministic
         layer_keys = (
             jnp.stack([
@@ -1034,6 +1219,17 @@ def decode(
         if cfg.remat:
             body = jax.checkpoint(body, policy=_remat_policy(cfg))
         x, _ = jax.lax.scan(body, x, (stacked, layer_keys))
+    elif "blocks" in dec:
+        # unrolled stacked layout — see the encoder-side comment
+        for i in range(cfg.num_decoder_layers):
+            blk = jax.tree_util.tree_map(lambda a: a[i], dec["blocks"])
+            blk_fn = block
+            if cfg.remat:
+                blk_fn = jax.checkpoint(block, policy=_remat_policy(cfg))
+            x = blk_fn(
+                x, blk, self_bias, cross_bias, encoder_hidden,
+                keys[3 * i], keys[3 * i + 1], keys[3 * i + 2],
+            )
     else:
         for i in range(cfg.num_decoder_layers):
             blk_fn = block

@@ -150,7 +150,14 @@ def make_train_step(
                 return p.astype(model_cfg.dtype)
             return p
 
-        params_c = jax.tree_util.tree_map(_pre, state.params)
+        # fused_qkv: concatenate projection weights ONCE per step so the
+        # model runs wide attention GEMMs (t5.fuse_attention_params); the
+        # gradients are split back to the q/k/v layout below.
+        src_params = (
+            t5.fuse_attention_params(state.params)
+            if model_cfg.fused_qkv else state.params
+        )
+        params_c = jax.tree_util.tree_map(_pre, src_params)
 
         def loss_fn(params, biases, pos_ids, pos_mask, pos_labels, neg_ids,
                     neg_mask, neg_labels, dkey):
@@ -222,7 +229,7 @@ def make_train_step(
                 return carry, aux_i
 
             zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p: jnp.zeros(p.shape, jnp.float32), params_c
             )
             zero_gbias = jax.tree_util.tree_map(
                 lambda b: jnp.zeros(b.shape, jnp.float32), biases
@@ -237,6 +244,9 @@ def make_train_step(
                 lambda x: x.reshape((-1,) + x.shape[2:]), aux_stack
             )
         pce, nce, sig_p, sig_n, sig_ce, p_first, n_first = aux
+
+        if model_cfg.fused_qkv:
+            grads = t5.split_attention_grads(grads)
 
         # fold the accumulated bias cotangent back into the two rel_bias
         # table grads (see position_bias_cache)

@@ -47,7 +47,8 @@ def main():
         eta0=0.5, meta_lr=1e-3, warmup_steps=10, total_steps=steps * 4,
         ce_scale=2.0 * float(np.log(cfg.vocab_size)),
     )
-    tx = make_optimizer(lr=1e-3, total_steps=steps * 4)
+    tx = make_optimizer(lr=1e-3, total_steps=steps * 4,
+                        moments=os.environ.get("BENCH_OPT_MOMENTS", "fp32"))
     step = make_train_step(
         cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
         rel_id=tok.true_id, nrel_id=tok.false_id,

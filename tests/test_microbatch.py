@@ -86,3 +86,51 @@ def test_microbatch_rejects_indivisible_batch():
     dc, cfg, params, ctrl, tx, tok = _setup("lce", 4)
     with pytest.raises(ValueError, match="divisible"):
         _run(dc, cfg, params, ctrl, tx, tok, "lce", 4, k=3, steps=1, batch=8)
+
+
+def test_fused_qkv_hoisted_matches_unfused():
+    """cfg.fused_qkv in the train step (hoisted weight concat + grad
+    re-split) must produce the same update as the unfused path."""
+    import dataclasses
+
+    import numpy as np
+
+    from pacednegatives_tpu.curriculum import EtaController
+    from pacednegatives_tpu.data import (
+        DeviceCorpus, HashTokenizer, TextCorpus, TokenizedStore, TripletStore,
+    )
+    from pacednegatives_tpu.models import T5Config, init_params
+    from pacednegatives_tpu.train import (
+        init_train_state, make_fused_step, make_optimizer, make_train_step,
+    )
+
+    cfg0 = T5Config.tiny(vocab_size=256)
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=16, num_queries=8, seed=0)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=8, n_neg=4, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    params = init_params(jax.random.key(0), cfg0)
+
+    outs = []
+    for fused in (False, True):
+        cfg = dataclasses.replace(cfg0, fused_qkv=fused)
+        ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
+                             total_steps=8)
+        tx = make_optimizer(lr=1e-2, total_steps=8)
+        step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                               rel_id=tok.true_id, nrel_id=tok.false_id,
+                               microbatches=2)
+        fstep = make_fused_step(dc, step, ctrl, loss="lce",
+                                n_neg_per_example=2)
+        state = init_train_state(params, tx, ctrl.init())
+        idx = jnp.arange(4, dtype=jnp.int32)
+        state, m = jax.jit(fstep)(state, idx)
+        outs.append((state, float(m["loss"])))
+
+    (s0, l0), (s1, l1) = outs
+    assert abs(l0 - l1) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -8,6 +8,7 @@ eta-weight branches, LCE aggregation, MarginMSE.
 import numpy as np
 import pytest
 import scipy.stats
+import optax
 
 import jax
 import jax.numpy as jnp
@@ -200,3 +201,52 @@ def test_difficulty_to_index_matches_reference():
         assert got == min(pool_len - 1, floor(w * (pool_len - 1)))
         got_max = int(difficulty_to_index(w, pool_len, use_max=True))
         assert got_max == min(pool_len - 1, ceil(w * (pool_len - 1)))
+
+
+def test_factored_adam_matches_adamw_on_rank1_grads():
+    """moments="factored" (scale_by_adam_factored): for rank-1 |g| the
+    factored second moment is exact, so updates must match AdamW up to the
+    bf16 first-moment rounding."""
+    import optax
+
+    from pacednegatives_tpu.train.state import scale_by_adam_factored
+
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(size=(16,)).astype(np.float32))}
+    # rank-1 g^2: g = outer(a, b) -> g^2 = outer(a^2, b^2)
+    a = rng.uniform(0.5, 1.5, size=(8, 1)).astype(np.float32)
+    b = rng.uniform(0.5, 1.5, size=(1, 16)).astype(np.float32)
+    g = {"w": jnp.asarray(a * b), "b": jnp.asarray(rng.normal(size=(16,)).astype(np.float32))}
+
+    ours = scale_by_adam_factored(eps=1e-6)
+    ref = optax.scale_by_adam(eps=1e-6, eps_root=0.0)
+    s1 = ours.init(p)
+    s2 = ref.init(p)
+    for _ in range(3):
+        u1, s1 = ours.update(g, s1)
+        u2, s2 = ref.update(g, s2)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]),
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(u1["b"]), np.asarray(u2["b"]),
+                               rtol=2e-2)
+
+
+def test_factored_adam_trains_tiny_model():
+    """End-to-end: the factored optimizer reduces loss on the tiny model."""
+    from pacednegatives_tpu.train import make_optimizer
+
+    tx = make_optimizer(lr=0.05, total_steps=60, moments="factored")
+    w = {"a": jnp.ones((4, 8)), "c": jnp.zeros((8,))}
+    target = jnp.asarray(np.random.default_rng(1).normal(size=(4, 8)), jnp.float32)
+
+    def loss_fn(w):
+        return jnp.mean((w["a"] - target) ** 2) + jnp.mean(w["c"] ** 2)
+
+    state = tx.init(w)
+    l0 = float(loss_fn(w))
+    for _ in range(40):
+        loss, grads = jax.value_and_grad(loss_fn)(w)
+        upd, state = tx.update(grads, state, w)
+        w = optax.apply_updates(w, upd)
+    assert float(loss_fn(w)) < 0.2 * l0
