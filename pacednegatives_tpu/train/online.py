@@ -17,10 +17,14 @@ and only *selects* from them during training; here each step:
 all inside one jitted program — mining never stalls the MXU on host I/O.
 
 The index refreshes every ``refresh_every`` steps by re-encoding the corpus
-with the current parameters. Refresh is itself a single device program
-enqueued between scan chunks: with JAX's async dispatch the host never
-blocks, and training continues against the previous embeddings until the
-swap (double buffering at the dispatch level — SURVEY.md §7 hard-part 5).
+with the current parameters. On a single device the refresh is asynchronous
+only at the DISPATCH level: the host never blocks, but the next chunk
+data-depends on the new embeddings, so the device itself serializes
+train -> refresh -> train and the refresh is dead device time (measured
+~990 s at 8.8M docs). True overlap needs disjoint devices — see
+train/overlap.py (OverlappedRefresher), which runs the refresh on a
+dedicated encode submesh while training continues on the rest
+(SURVEY.md §7 hard-part 5); OnlineMiningLoop accepts one via ``overlap``.
 """
 
 from __future__ import annotations
@@ -269,6 +273,16 @@ class OnlineMiningLoop:
     # argument each chunk (large-corpus hygiene; fused_step must accept the
     # third ``corpus`` parameter). None keeps legacy closure capture.
     corpus: "DeviceCorpus | None" = None
+    # Overlapped refresh (train/overlap.py): refresh runs on a dedicated
+    # encode submesh while training continues on the train submesh. The
+    # refresh still encodes with the trigger step's params, but the swap
+    # lands ``overlap_delay_chunks`` chunk boundaries later (bounded,
+    # explicit index staleness instead of serial refresh dead time).
+    overlap: "object | None" = None  # OverlappedRefresher
+    overlap_delay_chunks: int = 1
+    # sharding for the assembled index on the train mesh (collect target);
+    # None keeps the default single-device placement
+    embedding_sharding: "object | None" = None
 
     def __post_init__(self):
         if self.corpus is not None:
@@ -311,12 +325,28 @@ class OnlineMiningLoop:
             next(stream)
 
         embeddings = self.refresh_fn(state.params)
+        if self.embedding_sharding is not None:
+            embeddings = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.embedding_sharding)
+                if x.ndim == 2
+                else jax.device_put(
+                    x,
+                    type(self.embedding_sharding)(
+                        self.embedding_sharding.mesh,
+                        jax.sharding.PartitionSpec(
+                            *self.embedding_sharding.spec[:1]
+                        ),
+                    ),
+                ),
+                embeddings,
+            )
         carry = (state, embeddings)
         done = start_step
         last_eval = done
         last_ckpt = done
         # refresh on absolute-step boundaries so cadence survives restarts
         next_refresh = ((done // self.refresh_every) + 1) * self.refresh_every
+        swap_at = None  # overlapped refresh: step at which collect() lands
         t0 = time.time()
         while done < total_steps:
             k = min(self.chunk_size, total_steps - done)
@@ -370,11 +400,40 @@ class OnlineMiningLoop:
                     {"step": done, **{f"eval/{k}": v for k, v in ev.items()}}
                 )
                 writer.flush()
+            if (
+                self.overlap is not None
+                and swap_at is not None
+                and done >= swap_at
+            ):
+                # overlapped refresh ready to land: assemble on the train
+                # mesh (blocks only on still-outstanding encode work) and
+                # swap into the carry at this chunk boundary
+                state, old = carry
+                embeddings = self.overlap.collect(
+                    target_sharding=self.embedding_sharding, old=old
+                )
+                carry = (state, embeddings)
+                swap_at = None
             if done >= next_refresh and done < total_steps:
                 state, _old = carry
-                # async dispatch: enqueued behind the last chunk, the host
-                # continues immediately; next chunk uses the new embeddings
-                embeddings = self.refresh_fn(state.params)
-                carry = (state, embeddings)
+                if self.overlap is not None:
+                    # dispatch on the encode submesh; training continues
+                    # against the old index until the swap boundary
+                    if self.overlap.in_flight:  # delay > cadence: land first
+                        embeddings = self.overlap.collect(
+                            target_sharding=self.embedding_sharding, old=_old
+                        )
+                        carry = (state, embeddings)
+                    self.overlap.start(state.params)
+                    swap_at = done + self.overlap_delay_chunks * self.chunk_size
+                else:
+                    # single-mesh: async dispatch unblocks the HOST, but the
+                    # next chunk data-depends on the new embeddings, so the
+                    # device still serializes behind this refresh
+                    embeddings = self.refresh_fn(state.params)
+                    carry = (state, embeddings)
                 next_refresh += self.refresh_every
+        if self.overlap is not None and self.overlap.in_flight:
+            # don't leak an in-flight refresh past the end of the run
+            self.overlap.collect(target_sharding=self.embedding_sharding)
         return carry[0]

@@ -101,6 +101,35 @@ def main():
     for (c, s), d in src.most_common(20):
         print(f"{d / 1e3:8.2f} ms {100 * d / total:5.1f}%  [{c[:18]:18s}] {s}")
 
+    # per-op-NAME attribution for the categories the source table can't
+    # explain (copies have no source line) — match names against the
+    # optimized HLO text (scripts/dump_copies.py) to recover shapes
+    if os.environ.get("PROFILE_OPS"):
+        want = set(os.environ["PROFILE_OPS"].split(","))
+        by_name = collections.Counter()
+        n_exec = collections.Counter()
+        for e in data["traceEvents"]:
+            if e.get("ph") != "X" or e.get("tid") != 3:
+                continue
+            a = e.get("args", {})
+            if a.get("hlo_category") in want:
+                by_name[e.get("name", "?")] += e["dur"]
+                n_exec[e.get("name", "?")] += 1
+        print(f"\ntop ops in {want}:")
+        hlo_lines = {}
+        hlo_path = os.environ.get("HLO_TEXT", "/tmp/step_optimized.hlo")
+        if os.path.exists(hlo_path):
+            import re
+
+            pat = re.compile(r"^\s*(?:ROOT )?%([\w.\-]+) = (\S+) ")
+            for ln in open(hlo_path):
+                m = pat.match(ln)
+                if m:
+                    hlo_lines.setdefault(m.group(1), m.group(2))
+        for nm, d in by_name.most_common(25):
+            shape = hlo_lines.get(nm, "")[:80]
+            print(f"{d / 1e3:8.2f} ms x{n_exec[nm]:4d}  {nm:28s} {shape}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,216 @@
+"""Overlapped index refresh on a dedicated encode submesh (train/overlap.py).
+
+VERDICT r2 item 3: at 8.8M docs a refresh is ~990 s of serial device time on
+one chip because the next chunk data-depends on the new embeddings. These
+tests prove, on the virtual 8-device CPU mesh, that the submesh design
+(a) reproduces the serial refresh bit-for-bit (incl. quantized + multi-slice
+with a padded tail), (b) lets training proceed to completion against the OLD
+index while a refresh is in flight — the train chunk's results are fetched
+before collect() is ever called, so no data dependency orders the refresh
+before training — and (c) swaps the index into the mining loop at exactly
+the configured chunk boundary with the same post-swap index the serial loop
+produces.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pacednegatives_tpu.curriculum import EtaController
+from pacednegatives_tpu.data import (
+    DeviceCorpus,
+    HashTokenizer,
+    TextCorpus,
+    TokenizedStore,
+    TripletStore,
+)
+from pacednegatives_tpu.models import T5Config, init_params
+from pacednegatives_tpu.parallel import MeshConfig, create_mesh, param_shardings
+from pacednegatives_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from pacednegatives_tpu.train.online import (
+    OnlineMiningConfig,
+    OnlineMiningLoop,
+    make_online_fused_step,
+    make_refresh_fn,
+)
+from pacednegatives_tpu.train.overlap import OverlappedRefresher, split_devices
+
+
+def _setup(num_docs=48, quantize=False, rows_per_call=10**9):
+    cfg = T5Config.tiny(vocab_size=256)
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=num_docs, num_queries=12, seed=0)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=12, n_neg=4, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    params = init_params(jax.random.key(0), cfg)
+    mining = OnlineMiningConfig(
+        pool_size=8, encode_batch=8, quantize=quantize,
+        refresh_rows_per_call=rows_per_call,
+    )
+    return cfg, tok, dc, params, mining
+
+
+def test_overlapped_refresh_matches_serial():
+    cfg, tok, dc, params, mining = _setup()
+    serial = make_refresh_fn(dc, cfg, mining)(params)
+    _, enc_dev = split_devices(jax.devices()[:8], 2)
+    ref = OverlappedRefresher(dc, cfg, mining, enc_dev)
+    ref.start(params)
+    got = ref.collect()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(serial), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_overlapped_refresh_quantized_multislice():
+    """Multiple slices with a non-divisible padded tail + int8 quantize:
+    still bit-equal to the serial refresh (quantization is per-row)."""
+    cfg, tok, dc, params, mining = _setup(
+        num_docs=50, quantize=True, rows_per_call=16
+    )
+    vals_s, scales_s = make_refresh_fn(dc, cfg, mining)(params)
+    _, enc_dev = split_devices(jax.devices()[:8], 2)
+    ref = OverlappedRefresher(dc, cfg, mining, enc_dev)
+    assert len(ref._slices) > 1  # the config really exercises slicing
+    ref.start(params)
+    vals, scales = ref.collect()
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals_s))
+    np.testing.assert_allclose(
+        np.asarray(scales), np.asarray(scales_s), rtol=1e-6
+    )
+
+
+def test_training_proceeds_with_refresh_in_flight():
+    """Dispatch a refresh, then run and FETCH train chunks before collect():
+    training has no data dependency on the in-flight refresh."""
+    cfg, tok, dc, params, mining = _setup()
+    tr_dev, enc_dev = split_devices(jax.devices()[:8], 2)
+    mesh = create_mesh(MeshConfig(data=len(tr_dev), model=1), tr_dev)
+
+    ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1, total_steps=8)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    online = make_online_fused_step(dc, step, ctrl, cfg, mining, 2)
+    state = init_train_state(params, tx, ctrl.init())
+    state = state._replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    emb_sharding = NamedSharding(mesh, P("data", None))
+    embeddings = jax.device_put(make_refresh_fn(dc, cfg, mining)(params),
+                                emb_sharding)
+
+    ref = OverlappedRefresher(dc, cfg, mining, enc_dev)
+    ref.start(state.params)
+    assert ref.in_flight
+
+    pair_idx = jax.device_put(
+        jnp.arange(6, dtype=jnp.int32) % dc.num_pairs,
+        NamedSharding(mesh, P("data")),
+    )
+    with mesh:
+        (state, embeddings), metrics = jax.jit(online)(
+            (state, embeddings), pair_idx
+        )
+    loss = float(metrics["loss"])  # fetched BEFORE collect
+    assert np.isfinite(loss)
+    assert ref.in_flight
+    new_emb = ref.collect(target_sharding=emb_sharding)
+    # the collected index equals a from-scratch refresh with the params the
+    # refresh was STARTED with (not the since-advanced state.params)
+    expect = make_refresh_fn(dc, cfg, mining)(params)
+    np.testing.assert_allclose(
+        np.asarray(new_emb), np.asarray(expect), rtol=1e-5, atol=1e-6
+    )
+    # and training continues against the new index
+    with mesh:
+        (state, _), metrics2 = jax.jit(online)((state, new_emb), pair_idx)
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+class _Rows:
+    def __init__(self):
+        self.rows = []
+
+    def write(self, row):
+        self.rows.append(dict(row))
+
+    def flush(self):
+        pass
+
+
+def _run_loop(cfg, tok, dc, params, mining, overlap=None, delay=1,
+              emb_sharding=None, steps=12):
+    ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
+                         total_steps=steps)
+    tx = make_optimizer(lr=1e-3, total_steps=steps)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    online = make_online_fused_step(dc, step, ctrl, cfg, mining, 2)
+
+    def instrumented(carry, idx):
+        carry, m = online(carry, idx)
+        # checksum of the index actually used this step — pins swap timing
+        m = {**m, "index_sum": jnp.sum(carry[1]).astype(jnp.float32)}
+        return carry, m
+
+    loop = OnlineMiningLoop(
+        fused_step=instrumented,
+        refresh_fn=make_refresh_fn(dc, cfg, mining),
+        num_pairs=dc.num_pairs,
+        batch_size=4,
+        chunk_size=2,
+        refresh_every=4,
+        log_mode="all",
+        overlap=overlap,
+        overlap_delay_chunks=delay,
+        embedding_sharding=emb_sharding,
+    )
+    # the chunked loop DONATES its carry (incl. params) — copy so the
+    # caller's params survive for a second run
+    state = init_train_state(
+        jax.tree_util.tree_map(jnp.copy, params), tx, ctrl.init()
+    )
+    writer = _Rows()
+    loop.run(state, steps, writer=writer)
+    return [r for r in writer.rows if "index_sum" in r]
+
+
+def test_loop_swap_lands_at_configured_boundary():
+    """refresh_every=4, chunk=2, delay=1 chunk: steps 1-6 use index A (the
+    overlap swap lands one chunk AFTER the serial loop's), steps 7-8 use the
+    step-4 refresh, etc. The serial loop swaps at 5; delay shifts it to 7."""
+    cfg, tok, dc, params, mining = _setup(num_docs=32)
+    rows_serial = _run_loop(cfg, tok, dc, params, mining, steps=12)
+    _, enc_dev = split_devices(jax.devices()[:8], 2)
+    ref = OverlappedRefresher(dc, cfg, mining, enc_dev)
+    rows_ov = _run_loop(cfg, tok, dc, params, mining, overlap=ref, delay=1,
+                        steps=12)
+
+    s = {r["step"]: float(r["index_sum"]) for r in rows_serial}
+    o = {r["step"]: float(r["index_sum"]) for r in rows_ov}
+    # same initial index until the first serial swap
+    for t in (1, 2, 3, 4):
+        assert o[t] == s[t] == s[1]
+    # serial swaps at step 5; overlapped still on the old index for one more
+    # chunk (steps 5-6), then swaps to the SAME step-4-params index at 7
+    assert s[5] != s[4]
+    assert o[5] == o[6] == o[1]
+    assert o[7] == pytest.approx(s[5], rel=1e-5)
+
+
+def test_split_devices_validates():
+    with pytest.raises(ValueError):
+        split_devices(jax.devices()[:4], 4)
+    tr, enc = split_devices(jax.devices()[:8], 2)
+    assert len(tr) == 6 and len(enc) == 2 and not set(tr) & set(enc)
