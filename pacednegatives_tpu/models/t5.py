@@ -335,29 +335,44 @@ def attention(
     # hoisted with the compute-dtype cast in train/step.py) — a use-site
     # concat inside the microbatch scan re-materializes it per microbatch
     # and measures SLOWER (6.80 vs 7.30 steps/s at L=188).
+    # HEAD-MAJOR internal layout: q/k/v live as (B, H, L, dk) from the
+    # projection onward. Projecting via the weight reshaped to (D, H, dk)
+    # ("bld,dhk->bhlk") lets XLA fold the head transpose into the GEMM
+    # epilogue; the per-head score/AV einsums then contract over plain
+    # minor dims with NO transposes anywhere in fwd or bwd. Measured 3.15x
+    # on the isolated 12-layer attention stack at monoT5-base shapes
+    # (scripts/attn_layout_bench.py): the old (B, L, H, dk) layout made
+    # XLA pick L-minor activation layouts and sprinkle relayout copies
+    # around every attention boundary.
+    d_in = x.shape[-1]
+
+    def proj(src, w):  # (B, L, D) @ (D, H*dk) -> (B, H, L, dk)
+        return jnp.einsum(
+            "bld,dhk->bhlk", src, w.astype(dt).reshape(d_in, H, dk)
+        )
+
     if "qkv" in p:
-        qkv = jnp.einsum("bld,de->ble", x, p["qkv"].astype(dt))
-        q, k, v = jnp.split(qkv, 3, axis=2)
+        w3 = p["qkv"].astype(dt).reshape(d_in, 3, H, dk)
+        qkv = jnp.einsum("bld,dthk->tbhlk", x, w3)
+        q, k, v = qkv[0], qkv[1], qkv[2]
     elif "kv" in p:
-        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
-        kvp = jnp.einsum("bld,de->ble", kv, p["kv"].astype(dt))
-        k, v = jnp.split(kvp, 2, axis=2)
+        q = proj(x, p["q"])
+        w2 = p["kv"].astype(dt).reshape(d_in, 2, H, dk)
+        kvp = jnp.einsum("bld,dthk->tbhlk", kv, w2)
+        k, v = kvp[0], kvp[1]
     elif cfg.fused_qkv and x is kv:
         w = jnp.concatenate([p["q"], p["k"], p["v"]], axis=1).astype(dt)
-        qkv = jnp.einsum("bld,de->ble", x, w)
-        q, k, v = jnp.split(qkv, 3, axis=2)
+        qkv = jnp.einsum("bld,dthk->tbhlk", x, w.reshape(d_in, 3, H, dk))
+        q, k, v = qkv[0], qkv[1], qkv[2]
     elif cfg.fused_qkv:
-        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
+        q = proj(x, p["q"])
         w = jnp.concatenate([p["k"], p["v"]], axis=1).astype(dt)
-        kvp = jnp.einsum("bld,de->ble", kv, w)
-        k, v = jnp.split(kvp, 2, axis=2)
+        kvp = jnp.einsum("bld,dthk->tbhlk", kv, w.reshape(d_in, 2, H, dk))
+        k, v = kvp[0], kvp[1]
     else:
-        q = jnp.einsum("bld,dk->blk", x, p["q"].astype(dt))
-        k = jnp.einsum("bld,dk->blk", kv, p["k"].astype(dt))
-        v = jnp.einsum("bld,dk->blk", kv, p["v"].astype(dt))
-    q = q.reshape(B, Lq, H, dk)
-    k = k.reshape(B, Lk, H, dk)
-    v = v.reshape(B, Lk, H, dk)
+        q = proj(x, p["q"])
+        k = proj(kv, p["k"])
+        v = proj(kv, p["v"])
 
     if cfg.attention_impl == "chunked" and not deterministic:
         raise ValueError(
@@ -378,7 +393,7 @@ def attention(
             out = _chunked_attention(cfg, q, k, v, bias)
     else:
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
         scores = scores + _combine_bias(bias)
         weights = jax.nn.softmax(scores, axis=-1).astype(dt)
@@ -386,9 +401,11 @@ def attention(
             weights = _dropout(
                 weights, cfg.dropout_rate, dropout_key, deterministic
             )
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-    out = out.reshape(B, Lq, H * dk)
-    return jnp.einsum("bli,id->bld", out, p["o"].astype(dt))
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    # out: (B, H, Lq, dk); contract heads+dk against o reshaped (H, dk, D)
+    return jnp.einsum(
+        "bhld,hdo->blo", out, p["o"].astype(dt).reshape(H, dk, -1)
+    )
 
 
 def _packed_pair_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
@@ -411,14 +428,14 @@ def _packed_pair_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
     fp32 reduction grouping); scores materialize like the dense path, so
     this is for short-sequence regimes (gated on Lk <= attention_chunk).
     """
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     HP = H // 2
     dt = cfg.dtype
-    # (B, L, H, dk) -> (B, HP, 2, L, dk); head h = 2*hp + i throughout
-    qh = q.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lq, dk)
-    kh = k.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lk, dk)
-    vh = v.transpose(0, 2, 1, 3).reshape(B, HP, 2, Lk, dk)
+    # (B, H, L, dk) -> (B, HP, 2, L, dk); head h = 2*hp + i throughout
+    qh = q.reshape(B, HP, 2, Lq, dk)
+    kh = k.reshape(B, HP, 2, Lk, dk)
+    vh = v.reshape(B, HP, 2, Lk, dk)
     q2 = jnp.concatenate([qh[:, :, 0], qh[:, :, 1]], axis=-1)
     z = jnp.zeros_like(kh[:, :, 0])
     k2 = jnp.concatenate(
@@ -459,15 +476,16 @@ def _packed_pair_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
     )
     out = (
         o2.reshape(B, HP, Lq, 2, dk)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(B, Lq, H, dk)
+        .transpose(0, 1, 3, 2, 4)  # (B, HP, 2, Lq, dk)
+        .reshape(B, H, Lq, dk)
     )
     return out.astype(dt)
 
 
 def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
     """Online-softmax attention over key chunks with a flash-style custom
-    VJP. q/k/v: (B, L, H, dk); returns (B, Lq, H, dk) in compute dtype.
+    VJP. q/k/v: (B, H, L, dk) head-major; returns (B, H, Lq, dk) in compute
+    dtype.
 
     The backward recomputes per-chunk probabilities from the saved softmax
     statistics (m, l) instead of letting autodiff store every chunk's
@@ -475,15 +493,15 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
     costs exactly the dense-attention memory it was meant to avoid
     (measured: 20+GB HLO temp at B=16, n=7, L=512 on t5-base).
     """
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     C = min(cfg.attention_chunk, Lk)
     shared, per_batch = bias if isinstance(bias, tuple) else (bias, None)
 
     pad = (-Lk) % C
     if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if shared is not None:
             shared = jnp.pad(
                 shared, ((0, 0),) * 3 + ((0, pad),), constant_values=NEG_INF
@@ -504,7 +522,7 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
 
     impl = (
         ("pallas", cfg.flash_q_block)
-        if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[1], dk)
+        if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[2], dk)
         else "xla"
     )
     out = _flash_core(C, impl, q, k, v, shared, per_batch)
@@ -527,8 +545,10 @@ def _bias_chunk(src, j, C):
 
 
 def _flash_forward(C, q, k, v, shared, per_batch):
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    """q/k/v head-major (B, H, L, dk); returns (out (B, H, Lq, dk) fp32,
+    (m, l, out_bhqd)) — out IS out_bhqd, no layout change anywhere."""
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     n_chunks = Lk // C
 
     if n_chunks == 1:
@@ -536,26 +556,26 @@ def _flash_forward(C, q, k, v, shared, per_batch):
         # scan wrapper, no online-softmax correction passes, no k/v
         # re-chunking copies — one softmax, same (m, l) statistics
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
         s = s + shared + per_batch  # dummies are zeros (1,1,1,1); broadcast
         m = s.max(axis=-1)
         p_ = jnp.exp(s - m[..., None])
         l = jnp.maximum(p_.sum(axis=-1), 1e-30)
         out_bhqd = jnp.einsum(
-            "bhqk,bkhd->bhqd", p_.astype(v.dtype), v,
+            "bhqk,bhkd->bhqd", p_.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ) / l[..., None]
-        return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+        return out_bhqd, (m, l, out_bhqd)
 
-    k_c = k.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
-    v_c = v.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+    k_c = k.reshape(B, H, n_chunks, C, dk).transpose(2, 0, 1, 3, 4)
+    v_c = v.reshape(B, H, n_chunks, C, dk).transpose(2, 0, 1, 3, 4)
 
     def body(carry, inputs):
         m, l, acc = carry
         j, k_j, v_j = inputs
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_j, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k_j, preferred_element_type=jnp.float32
         )
         s = s + _bias_chunk(shared, j, C) + _bias_chunk(per_batch, j, C)
         m_new = jnp.maximum(m, s.max(axis=-1))
@@ -563,7 +583,7 @@ def _flash_forward(C, q, k, v, shared, per_batch):
         p_ = jnp.exp(s - m_new[..., None])
         l = l * corr + p_.sum(axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
-            "bhqk,bkhd->bhqd", p_.astype(v_j.dtype), v_j,
+            "bhqk,bhkd->bhqd", p_.astype(v_j.dtype), v_j,
             preferred_element_type=jnp.float32,
         )
         return (m_new, l, acc), None
@@ -576,7 +596,7 @@ def _flash_forward(C, q, k, v, shared, per_batch):
     (m, l, acc), _ = jax.lax.scan(body, init, (jnp.arange(n_chunks), k_c, v_c))
     l = jnp.maximum(l, 1e-30)
     out_bhqd = acc / l[..., None]
-    return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+    return out_bhqd, (m, l, out_bhqd)
 
 
 def _impl_kind(impl):
@@ -588,18 +608,20 @@ def _impl_kind(impl):
 
 def _pallas_forward(C, q_block, q, k, v, shared, per_batch):
     """Fused Mosaic forward (ops/flash.py): same contract as
-    _flash_forward — returns (out (B, Lq, H, dk) fp32, (m, l, out_bhqd))
-    so the XLA flash backward below is reused unchanged. The kernel keeps
-    scores/probabilities in VMEM, eliminating the (B, H, Lq, C) HBM
-    transients the XLA scan materializes each chunk."""
+    _flash_forward — returns (out (B, H, Lq, dk) fp32, (m, l, out_bhqd))
+    so the XLA flash backward below is reused unchanged. The kernels were
+    always head-major internally; with the model now head-major too, the
+    boundary transposes are gone. The kernel keeps scores/probabilities in
+    VMEM, eliminating the (B, H, Lq, C) HBM transients the XLA scan
+    materializes each chunk."""
     from pacednegatives_tpu.ops.flash import (
         flash_attention_forward,
         flash_attention_forward_v2,
         flash_v2_eligible,
     )
 
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     pos = shared
     if pos.shape[3] == 1:  # dummy zeros (1, 1, 1, 1)
         pos = jnp.zeros((1, H, Lq, Lk), jnp.float32)
@@ -610,18 +632,16 @@ def _pallas_forward(C, q_block, q, k, v, shared, per_batch):
         key_mask = per_batch.reshape(B, Lk)
     if flash_v2_eligible(H, Lq, Lk, dk):
         out_bhqd, m, l = flash_attention_forward_v2(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), pos3, key_mask,
+            q, k, v, pos3, key_mask,
             q_block=q_block, out_dtype=jnp.float32,
         )
     else:
         kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
         out_bhqd, m, l = flash_attention_forward(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), pos3, key_mask,
+            q, k, v, pos3, key_mask,
             q_block=128, kv_block=kv_block, out_dtype=jnp.float32,
         )
-    return jnp.transpose(out_bhqd, (0, 2, 1, 3)), (m, l, out_bhqd)
+    return out_bhqd, (m, l, out_bhqd)
 
 
 def pallas_flash_eligible(Lq: int, Lk_padded: int, dk: int) -> bool:
@@ -670,8 +690,8 @@ def _pallas_backward(C, q_block, res, g):
     )
 
     q, k, v, shared, per_batch, m, l, out_bhqd = res
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     pos = shared
     if pos.shape[3] == 1:
         pos = jnp.zeros((1, H, Lq, Lk), jnp.float32)
@@ -681,19 +701,17 @@ def _pallas_backward(C, q_block, res, g):
     else:
         key_mask = per_batch.reshape(B, Lk)
 
-    g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
+    g_bhqd = g.astype(jnp.float32)
     D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
     if flash_v2_eligible(H, Lq, Lk, dk):
         dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward_v2(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
+            q, k, v, pos3, key_mask, m, l, D, g_bhqd,
             q_block=q_block,
         )
     else:
         kv_block = C if C % 128 == 0 and Lk % C == 0 else 128
         dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), pos3, key_mask, m, l, D, g_bhqd,
+            q, k, v, pos3, key_mask, m, l, D, g_bhqd,
             q_block=128, kv_block=kv_block,
         )
     dshared = (
@@ -702,9 +720,9 @@ def _pallas_backward(C, q_block, res, g):
         else jnp.zeros(shared.shape, shared.dtype)
     )
     return (
-        dq_bh.transpose(0, 2, 1, 3).astype(q.dtype),
-        dk_bh.transpose(0, 2, 1, 3).astype(k.dtype),
-        dv_bh.transpose(0, 2, 1, 3).astype(v.dtype),
+        dq_bh.astype(q.dtype),
+        dk_bh.astype(k.dtype),
+        dv_bh.astype(v.dtype),
         dshared,
         jnp.zeros(per_batch.shape, per_batch.dtype),
     )
@@ -715,13 +733,13 @@ def _flash_core_bwd(C, impl, res, g):
     if kind == "pallas":
         return _pallas_backward(C, qb, res, g)
     q, k, v, shared, per_batch, m, l, out_bhqd = res
-    B, Lq, H, dk = q.shape
-    Lk = k.shape[1]
+    B, H, Lq, dk = q.shape
+    Lk = k.shape[2]
     n_chunks = Lk // C
-    k_c = k.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
-    v_c = v.reshape(B, n_chunks, C, H, dk).transpose(1, 0, 2, 3, 4)
+    k_c = k.reshape(B, H, n_chunks, C, dk).transpose(2, 0, 1, 3, 4)
+    v_c = v.reshape(B, H, n_chunks, C, dk).transpose(2, 0, 1, 3, 4)
 
-    g_bhqd = jnp.transpose(g, (0, 2, 1, 3)).astype(jnp.float32)
+    g_bhqd = g.astype(jnp.float32)
     # D_i = sum_d dout_i * out_i  (flash backward identity)
     D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
 
@@ -740,24 +758,24 @@ def _flash_core_bwd(C, impl, res, g):
         # single-chunk fast path: mirrors the forward — no scan, no
         # dynamic-slice bias accumulation
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
         s = s + shared + per_batch
         p_ = jnp.exp(s - m[..., None]) / l[..., None]
         dv = jnp.einsum(
-            "bhqk,bhqd->bkhd", p_.astype(cdt), g_c,
+            "bhqk,bhqd->bhkd", p_.astype(cdt), g_c,
             preferred_element_type=jnp.float32,
         )
         dp = jnp.einsum(
-            "bhqd,bkhd->bhqk", g_c, v, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", g_c, v, preferred_element_type=jnp.float32
         )
         ds = p_ * (dp - D[..., None])
         ds_c = ds.astype(cdt)
         dq = jnp.einsum(
-            "bhqk,bkhd->bqhd", ds_c, k, preferred_element_type=jnp.float32
+            "bhqk,bhkd->bhqd", ds_c, k, preferred_element_type=jnp.float32
         )
         dk_full = jnp.einsum(
-            "bhqk,bqhd->bkhd", ds_c, q, preferred_element_type=jnp.float32
+            "bhqk,bhqd->bhkd", ds_c, q, preferred_element_type=jnp.float32
         )
         return (
             dq.astype(q.dtype),
@@ -771,26 +789,26 @@ def _flash_core_bwd(C, impl, res, g):
         dq, dshared, dper = carry
         j, k_j, v_j = inputs
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_j, preferred_element_type=jnp.float32
+            "bhqd,bhkd->bhqk", q, k_j, preferred_element_type=jnp.float32
         )
         s = s + _bias_chunk(shared, j, C) + _bias_chunk(per_batch, j, C)
         p_ = jnp.exp(s - m[..., None]) / l[..., None]  # (B, H, Lq, C)
         dv_j = jnp.einsum(
-            "bhqk,bhqd->bkhd", p_.astype(cdt), g_c,
+            "bhqk,bhqd->bhkd", p_.astype(cdt), g_c,
             preferred_element_type=jnp.float32,
         )
         dp = jnp.einsum(
-            "bhqd,bkhd->bhqk", g_c, v_j,
+            "bhqd,bhkd->bhqk", g_c, v_j,
             preferred_element_type=jnp.float32,
         )
         ds = p_ * (dp - D[..., None])  # (B, H, Lq, C) fp32
         ds_c = ds.astype(cdt)
         dq = dq + jnp.einsum(
-            "bhqk,bkhd->bqhd", ds_c, k_j,
+            "bhqk,bhkd->bhqd", ds_c, k_j,
             preferred_element_type=jnp.float32,
         )
         dk_j = jnp.einsum(
-            "bhqk,bqhd->bkhd", ds_c, q,
+            "bhqk,bhqd->bhkd", ds_c, q,
             preferred_element_type=jnp.float32,
         )
         # bias grads: reduce ds to each bias's (broadcast) chunk shape, then
@@ -820,15 +838,16 @@ def _flash_core_bwd(C, impl, res, g):
         return (dq, dshared, dper), (dk_j, dv_j)
 
     init = (
-        jnp.zeros((B, Lq, H, dk), jnp.float32),
+        jnp.zeros((B, H, Lq, dk), jnp.float32),
         jnp.zeros(dshared_shape, jnp.float32),
         jnp.zeros(dper_shape, jnp.float32),
     )
     (dq, dshared, dper), (dk_c, dv_c) = jax.lax.scan(
         body, init, (jnp.arange(n_chunks), k_c, v_c)
     )
-    dk = dk_c.transpose(1, 0, 2, 3, 4).reshape(B, Lk, H, dk_c.shape[-1])
-    dv = dv_c.transpose(1, 0, 2, 3, 4).reshape(B, Lk, H, dv_c.shape[-1])
+    # (n_chunks, B, H, C, dk) -> (B, H, Lk, dk)
+    dk = dk_c.transpose(1, 2, 0, 3, 4).reshape(B, H, Lk, dk_c.shape[-1])
+    dv = dv_c.transpose(1, 2, 0, 3, 4).reshape(B, H, Lk, dv_c.shape[-1])
     return (
         dq.astype(q.dtype),
         dk.astype(k.dtype),

@@ -103,9 +103,9 @@ def test_pallas_forward_matches_xla_flash_forward():
     rng = np.random.default_rng(0)
     B, Lq, H, dk = 2, 128, 4, 64
     Lk = 128
-    q = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
     shared = jnp.asarray(rng.standard_normal((1, H, Lq, Lk)), jnp.float32)
     per_batch = jnp.where(
         jnp.arange(Lk)[None, None, None, :] < 100, 0.0, -1e9
@@ -149,9 +149,9 @@ def test_pallas_backward_matches_xla_flash_backward():
     rng = np.random.default_rng(1)
     B, Lq, H, dk = 2, 128, 4, 64
     Lk = 128
-    q = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, Lk, H, dk)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, dk)), jnp.float32)
     shared = jnp.asarray(
         rng.standard_normal((1, H, Lq, Lk)) * 0.5, jnp.float32
     )
@@ -159,7 +159,7 @@ def test_pallas_backward_matches_xla_flash_backward():
         jnp.where(jnp.arange(Lk)[None, None, None, :] < 100, 0.0, -1e9)
         .astype(jnp.float32) * jnp.ones((B, 1, 1, 1))
     )
-    cot = jnp.asarray(rng.standard_normal((B, Lq, H, dk)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
 
     def loss(impl, q, k, v, shared):
         out = t5_mod._flash_core(64, impl, q, k, v, shared, per_batch)
