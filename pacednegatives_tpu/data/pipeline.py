@@ -25,7 +25,7 @@ import dataclasses
 import numpy as np
 
 from pacednegatives_tpu.data.corpus import TextCorpus
-from pacednegatives_tpu.data.tokenizer import Tokenizer, pad_batch
+from pacednegatives_tpu.data.tokenizer import Tokenizer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,38 @@ class PromptTemplate:
 
     def total_len(self, max_q: int, max_d: int) -> int:
         return len(self.prefix) + max_q + len(self.mid) + max_d + len(self.suffix)
+
+
+def _encode_all(
+    texts, tok: Tokenizer, max_len: int, chunk: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize ``texts`` into a preallocated (N, max_len) matrix, chunked.
+
+    Two properties matter at MS MARCO scale (8.8M docs, SURVEY §3.2):
+    - ``encode_batch`` when the tokenizer has one AND >1 CPU is available
+      (the Rust `tokenizers` backend rayon-parallelizes a chunk across
+      cores; measured on 1 CPU it's ~17% SLOWER than per-call encode from
+      thread-pool overhead, so it's gated on core count);
+    - rows are written straight into the final matrix, so peak host RAM is
+      final size + one chunk of Python lists, not 2x final size the way a
+      whole-corpus list-of-lists + pad_batch would be.
+    """
+    import os
+
+    n = len(texts)
+    out = np.full((n, max_len), tok.pad_id, np.int32)
+    mask = np.zeros((n, max_len), np.int32)
+    batched = getattr(tok, "encode_batch", None)
+    if (os.cpu_count() or 1) <= 1:
+        batched = None
+    for lo in range(0, n, chunk):
+        part = texts[lo : lo + chunk]
+        seqs = batched(part) if batched else [tok.encode(t) for t in part]
+        for i, s in enumerate(seqs):
+            s = s[:max_len]
+            out[lo + i, : len(s)] = s
+            mask[lo + i, : len(s)] = 1
+    return out, mask
 
 
 @dataclasses.dataclass
@@ -67,12 +99,13 @@ class TokenizedStore:
         tok: Tokenizer,
         max_q_tokens: int = 32,
         max_d_tokens: int = 180,
+        chunk: int = 65536,
     ) -> "TokenizedStore":
-        q_tokens, q_mask = pad_batch(
-            [tok.encode(t) for t in corpus.query_texts], max_q_tokens, tok.pad_id
+        q_tokens, q_mask = _encode_all(
+            corpus.query_texts, tok, max_q_tokens, chunk
         )
-        d_tokens, d_mask = pad_batch(
-            [tok.encode(t) for t in corpus.doc_texts], max_d_tokens, tok.pad_id
+        d_tokens, d_mask = _encode_all(
+            corpus.doc_texts, tok, max_d_tokens, chunk
         )
         return cls(
             q_tokens=q_tokens,

@@ -132,6 +132,12 @@ class TrainedTokenizer:
             ids.append(self.eos_id)
         return ids
 
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        """Rust-side batch encode — one FFI call instead of len(texts)
+        Python round trips; the MS MARCO-scale ingest path depends on it
+        (scripts/scale_ingest_rehearsal.py measures the difference)."""
+        return [e.ids for e in self._tok.encode_batch(list(texts))]
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._tok.save(path)

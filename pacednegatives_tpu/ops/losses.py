@@ -73,6 +73,32 @@ def lce_ce(pce: jax.Array, nce: jax.Array, n: int, use_mean: bool = True) -> jax
     return pce + agg
 
 
+def lce_ce_flat_tokens(
+    pce_tok: jax.Array, nce_tok: jax.Array, n: int, use_mean: bool = True
+) -> jax.Array:
+    """LCE CE with the reference's VERBATIM flat-token regrouping.
+
+    The reference flattens per-token CEs in (example, negative, token) memory
+    order and then groups CONSECUTIVE n tokens into "negative groups"
+    (``nce.view(-1, n)``, lceT5.py:119).  With L_label == 1 that grouping is
+    per-example-over-negatives; with L_label > 1 it mixes tokens across
+    negatives and yields a (B*L_label,) "per-example" vector whose entry
+    (b, l) pairs positive token l with a token-interleaved slice of example
+    b's negatives.  We treat this as a reference quirk — the default LCE path
+    (``lce_ce``) groups per example — but reproduce it here exactly so the
+    divergence is tested rather than asserted (VERDICT r2 item 9).
+
+    pce_tok: (B, L) per-token CE of the positives (ignored slots zeroed).
+    nce_tok: (B*n, L) per-token CE of the negatives, row order (b, neg).
+    Returns (B*L,): flat positive token CE + agg over quirk-grouped rows.
+    Requires positive and negative label lengths to match (they do: the
+    verbalizer label is the same fixed token sequence for both).
+    """
+    grouped = nce_tok.reshape(-1, n)  # rows of n CONSECUTIVE (b, neg, l) slots
+    agg = jnp.mean(grouped, axis=1) if use_mean else jnp.sum(grouped, axis=1)
+    return pce_tok.reshape(-1) + agg
+
+
 def eta_weight(ce: jax.Array, eta: jax.Array, kind: str = "eta") -> jax.Array:
     """Self-paced weight v(ce; eta).
 

@@ -25,17 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
-SEQ_AXIS = "seq"  # reserved: negative-/sequence-parallel axis (SURVEY §2.6)
+# Negative-parallel axis: make_fused_step(negative_parallel=True) constrains
+# assembled LCE batch rows over ("data", "seq"), splitting the n-negatives
+# rows dp*seq ways while params shard only over "model"
+# (tests/test_sharding_equivalence.py pins dp2 x seq2 x tp2 == single device).
+SEQ_AXIS = "seq"
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Logical mesh shape. ``-1`` means "all remaining devices".
 
-    ``seq`` reserves a third axis for sequence/negative parallelism —
-    the reference caps sequences at 512 so it is unused by default, but the
-    mesh carries it so LCE over large n can shard negatives across chips
-    without re-plumbing (SURVEY.md §5 long-context note).
+    ``seq`` is the negative-parallel axis: LCE batch rows (B positives +
+    B*n negatives) shard over the combined (data, seq) axes when
+    make_fused_step(negative_parallel=True) — see SEQ_AXIS note above.
+    Default 1 (the reference caps n at 7, where plain dp suffices).
     """
 
     data: int = -1

@@ -27,7 +27,12 @@ from pacednegatives_tpu.curriculum.base import StepSignals
 from pacednegatives_tpu.curriculum.meta import MetaWeightTable
 from pacednegatives_tpu.models import t5
 from pacednegatives_tpu.models.monot5 import relevance_probs
-from pacednegatives_tpu.ops.losses import lce_ce, token_ce, token_ce_per_token
+from pacednegatives_tpu.ops.losses import (
+    lce_ce,
+    lce_ce_flat_tokens,
+    token_ce,
+    token_ce_per_token,
+)
 from pacednegatives_tpu.train.state import TrainState
 
 Batch = dict[str, jax.Array]
@@ -86,6 +91,12 @@ def make_train_step(
     loss: str = "pair",
     n_neg_per_example: int = 1,
     use_mean: bool = True,
+    # "per_example" (default): LCE groups negative CEs per example.
+    # "flat_tokens": the reference's verbatim ``nce.view(-1, n)`` regrouping
+    # (lceT5.py:119), which token-interleaves across negatives when
+    # L_label > 1 — kept reproducible so the divergence is tested, not
+    # asserted (ops/losses.lce_ce_flat_tokens).
+    label_grouping: str = "per_example",
     rel_id: int = 3,
     nrel_id: int = 4,
     dropout: bool = False,
@@ -181,6 +192,12 @@ def make_train_step(
                 sig_p = ce_tok[:b].reshape(-1)
                 sig_n = ce_tok[b:].reshape(-1)
                 sig_ce = (sig_p + sig_n) / 2.0
+            elif label_grouping == "flat_tokens":
+                sig_ce = lce_ce_flat_tokens(
+                    ce_tok[:b], ce_tok[b:], n, use_mean
+                )
+                main = jnp.mean(sig_ce)
+                sig_p, sig_n = pce, nce
             else:
                 sig_ce = lce_ce(pce, nce, n, use_mean)
                 main = jnp.mean(sig_ce)
@@ -315,15 +332,34 @@ def make_fused_step(
     controller,
     loss: str = "pair",
     n_neg_per_example: int = 1,
+    negative_parallel: bool = False,
 ):
     """Fuse on-device batch assembly with the train step.
 
     fused(state, pair_idx) runs: difficulty -> sample negatives -> gather
     prompts -> step. Scan-compatible: the whole training run can be a single
     lax.scan over pair-index chunks with zero host round trips.
+
+    negative_parallel=True shards the assembled batch ROWS over the combined
+    (data, seq) mesh axes via sharding constraints, wiring the reserved
+    ``seq`` axis (parallel/mesh.py) to LCE negative parallelism: at n
+    negatives per pair the negative rows are n/(n+1) of the forward, so a
+    dp x seq x tp mesh splits them dp*seq ways while parameters stay sharded
+    only over ``model``.  Requires the batch row counts (B and B*n) to be
+    divisible by dp*seq; only meaningful inside a mesh context whose ``seq``
+    axis is > 1 (it is a no-op constraint otherwise).
     """
 
     default_corpus = corpus
+
+    def _constrain_rows(batch):
+        from jax.sharding import PartitionSpec as P  # local: keep import light
+
+        def _c(v):
+            spec = P(("data", "seq"), *([None] * (v.ndim - 1)))
+            return jax.lax.with_sharding_constraint(v, spec)
+
+        return {k: _c(v) for k, v in batch.items()}
 
     def fused(state: TrainState, pair_idx: jax.Array, corpus=None):
         # corpus may be threaded in as a jit ARGUMENT (DeviceCorpus pytree
@@ -335,6 +371,8 @@ def make_fused_step(
             batch = corpus.lce_batch(key, pair_idx, difficulty, n_neg_per_example)
         else:
             batch = corpus.pair_batch(pair_idx, difficulty)
+        if negative_parallel:
+            batch = _constrain_rows(batch)
         return step_fn(state, batch)
 
     return fused

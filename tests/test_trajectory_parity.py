@@ -212,7 +212,8 @@ def test_eta_wrapper_full_loop_trajectory():
 # ---------------------------------------------------------------------------
 
 
-def torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0):
+def torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total,
+                   eta0, two_token=False):
     eta = torch.nn.Parameter(torch.tensor([eta0]))
     # lceT5.py:170-182: BOTH optimizers are (legacy) AdamW; no clamp anywhere
     meta_opt = torch.optim.AdamW([eta], lr=meta_lr, eps=1e-6, weight_decay=0.0)
@@ -221,8 +222,14 @@ def torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, et
     sched = _hf_linear(opt, warmup, total)
 
     pool = neg.shape[1]
-    o_p = np.tile([[REL]], (bs, 1))  # single-token labels (see module doc)
-    o_n = np.tile([[NREL]], (bs * n, 1))
+    # two_token=True exercises the PRODUCTION label shape ([verbalizer, eos])
+    # with the reference's verbatim nce.view(-1, n) regrouping quirk; False
+    # keeps the single-token labels under which the grouping is well-defined
+    # (see module doc).
+    lab_p = [[REL, EOS]] if two_token else [[REL]]
+    lab_n = [[NREL, EOS]] if two_token else [[NREL]]
+    o_p = np.tile(lab_p, (bs, 1))
+    o_n = np.tile(lab_n, (bs * n, 1))
     loss_fn = torch.nn.CrossEntropyLoss(ignore_index=-100, reduction="none")
 
     def pair_loss(plog, nlog, op, on):  # lceT5.py:116-123
@@ -270,21 +277,27 @@ def torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, et
     return traj
 
 
-def ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr, warmup, total, eta0):
+def ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr, warmup,
+                  total, eta0, two_token=False, label_grouping=None):
     ctrl = EtaController(
         eta0=eta0, meta_lr=meta_lr, warmup_steps=warmup, total_steps=total,
         kind="lce", objective="weighted_ce", optimizer="adamw", clamp=False,
     )
     tx = make_optimizer(lr=lr, total_steps=total, warmup_steps=warmup, grad_clip=None)
+    if label_grouping is None:
+        label_grouping = "flat_tokens" if two_token else "per_example"
     step = jax.jit(
         make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
-                        use_mean=True, rel_id=REL, nrel_id=NREL)
+                        use_mean=True, rel_id=REL, nrel_id=NREL,
+                        label_grouping=label_grouping)
     )
     state = init_train_state(params, tx, ctrl.init())
 
     pool = neg.shape[1]
-    o_p = np.tile([[REL]], (bs, 1)).astype(np.int32)
-    o_n = np.tile([[NREL]], (bs * n, 1)).astype(np.int32)
+    lab_p = [[REL, EOS]] if two_token else [[REL]]
+    lab_n = [[NREL, EOS]] if two_token else [[NREL]]
+    o_p = np.tile(lab_p, (bs, 1)).astype(np.int32)
+    o_n = np.tile(lab_n, (bs * n, 1)).astype(np.int32)
     ones_p = np.ones((bs, pos.shape[1]), np.int32)
     ones_n = np.ones((bs * n, pos.shape[1]), np.int32)
     n_pairs = pos.shape[0]
@@ -336,3 +349,64 @@ def test_lce_model_full_loop_trajectory():
     assert [t["base"] for t in got] == [t["base"] for t in want]
     etas = [t["eta"] for t in want]
     assert max(etas) - min(etas) > 1e-3
+
+
+def test_lce_2token_label_quirk_trajectory():
+    """VERDICT r2 item 9: the reference's PRODUCTION 2-token labels
+    ([verbalizer, eos]) hit the ``nce.view(-1, n)`` regrouping quirk
+    (lceT5.py:119): per-token CEs flattened in (example, negative, token)
+    memory order are grouped into rows of n CONSECUTIVE tokens, which mixes
+    tokens across negatives and makes the "per-example" CE vector length
+    B*L_label.  Our default LCE path groups per example instead; this test
+    (a) pins ``label_grouping="flat_tokens"`` to a literal torch port of the
+    quirk over an N-step trajectory, and (b) measures that the quirk and the
+    default grouping genuinely diverge — documenting the deliberate
+    divergence numerically rather than asserting it.
+
+    n=3 with L_label=2: rows of 3 consecutive tokens span negative
+    boundaries ((n0l0,n0l1,n1l0), (n1l1,n2l0,n2l1)) — real cross-negative
+    mixing.  (When n == L_label the rows coincidentally align to one
+    negative's tokens and the quirk is nearly benign — measured max main-
+    loss delta 2.4e-7 over 24 steps at n=L=2.)"""
+    steps, bs, n, pool, L = 24, 3, 3, 10, 9
+    lr, meta_lr, warmup, total, eta0 = 1e-2, 0.05, 2, steps, 0.9
+    vocab = 48
+    model = _hf_model(seed=2, vocab=vocab)
+    cfg = config_from_hf(model.config)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    pos, neg = _data(4 * bs, pool, L, vocab, seed=11)
+
+    want = torch_lce_loop(model, pos, neg, steps, bs, n, lr, meta_lr,
+                          warmup, total, eta0, two_token=True)
+    got = ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr,
+                        warmup, total, eta0, two_token=True)
+
+    for k, upto in (("loss", 18), ("meta_loss", 18), ("eta", steps),
+                    ("difficulty", steps)):
+        w = np.array([t[k] for t in want])[:upto]
+        g = np.array([t[k] for t in got])[:upto]
+        np.testing.assert_allclose(g, w, rtol=5e-3, atol=5e-3, err_msg=k)
+    assert [t["base"] for t in got] == [t["base"] for t in want]
+
+    # (b) the quirk is REAL: the sane per-example grouping diverges from the
+    # flat-token grouping on the same data/model within the horizon.  The
+    # divergence channel is the META objective, not the main loss: the main
+    # loss is grouping-INVARIANT in exact arithmetic (mean of equal-size row
+    # means == overall token mean; measured max main-loss delta 9.5e-7 over
+    # the horizon), but the eta weighting thresholds and squares per ENTRY,
+    # so the (B*L,) quirk vector and the (B,) per-example vector give
+    # different meta gradients — and therefore different eta/difficulty
+    # trajectories, which in production select different negatives.
+    sane = ours_lce_loop(params, cfg, pos, neg, steps, bs, n, lr, meta_lr,
+                         warmup, total, eta0, two_token=True,
+                         label_grouping="per_example")
+    q_meta = np.array([t["meta_loss"] for t in got])
+    s_meta = np.array([t["meta_loss"] for t in sane])
+    q_eta = np.array([t["eta"] for t in got])
+    s_eta = np.array([t["eta"] for t in sane])
+    assert (np.max(np.abs(q_meta - s_meta)) > 1e-3
+            or np.max(np.abs(q_eta - s_eta)) > 1e-3), (
+        "flat-token quirk and per-example grouping should diverge through "
+        f"the meta path; max |meta delta| = {np.max(np.abs(q_meta - s_meta)):.2e}, "
+        f"max |eta delta| = {np.max(np.abs(q_eta - s_eta)):.2e}"
+    )
