@@ -68,6 +68,10 @@ class RunConfig:
     var: float = 0.01  # accepted for parity; a normalization no-op (see ops/sampling.py)
     use_mean: bool = False
     use_max: bool = False
+    # "per_example" | "flat_tokens" — the latter reproduces the reference's
+    # verbatim nce.view(-1, n) token regrouping (lceT5.py:119), which mixes
+    # tokens across negatives for 2-token labels (ops/losses.lce_ce_flat_tokens)
+    label_grouping: str = "per_example"
     # eta (train/eta.py defaults)
     eta0: float = 0.5
     eta_min: float = 1e-10
@@ -476,6 +480,7 @@ def run(cfg: RunConfig) -> dict:
         step = make_train_step(
             mcfg, controller, tx, loss=loss_kind, n_neg_per_example=n,
             use_mean=cfg.use_mean, rel_id=tok.true_id, nrel_id=tok.false_id,
+            label_grouping=cfg.label_grouping,
             dropout=cfg.dropout, microbatches=cfg.microbatches,
             microbatch_unroll=cfg.microbatch_unroll,
         )

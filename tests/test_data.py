@@ -159,3 +159,25 @@ def test_lce_batch_shapes_and_pool_membership(store, triples):
         pool_docs = {tuple(store.d_tokens[r]) for r in triples.pools[b]}
         for j in range(4):
             assert tuple(neg_ids[b, j, d_start:d_end]) in pool_docs
+
+
+def test_encode_all_chunked_matches_unchunked(corpus, tok):
+    """TokenizedStore.build fills preallocated matrices chunk-by-chunk
+    (data/pipeline._encode_all); the chunk size must not affect output,
+    including when it straddles the corpus length or is 1."""
+    base = TokenizedStore.build(corpus, tok, max_q_tokens=8, max_d_tokens=32)
+    for chunk in (1, 7, 64, 1000):
+        st = TokenizedStore.build(
+            corpus, tok, max_q_tokens=8, max_d_tokens=32, chunk=chunk
+        )
+        np.testing.assert_array_equal(st.d_tokens, base.d_tokens)
+        np.testing.assert_array_equal(st.d_mask, base.d_mask)
+        np.testing.assert_array_equal(st.q_tokens, base.q_tokens)
+
+
+def test_encode_batch_matches_encode(corpus):
+    """TrainedTokenizer.encode_batch (the multi-core Rust path) must agree
+    with per-call encode on every text."""
+    tok = TrainedTokenizer.train(corpus.doc_texts, vocab_size=300)
+    texts = corpus.doc_texts[:20] + corpus.query_texts[:5]
+    assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]
