@@ -74,6 +74,7 @@ def build(model_name: str):
         fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
         flash_kernel=os.environ.get("BENCH_FLASH", "0") == "1",
         packed_heads=os.environ.get("BENCH_PACKED", "0") == "1",
+        packed_lanes=os.environ.get("BENCH_PACKED_LANES", "0") == "1",
         flash_q_block=int(os.environ.get("BENCH_FLASH_QBLOCK", "512")),
     )
 

@@ -95,6 +95,18 @@ class T5Config:
     # the negative result; see also ops/flash.py STATUS for the kernel-
     # level history of the same idea.
     packed_heads: bool = False
+    # packed_lanes: project q/k/v for HEAD PAIRS as (B, H/2, L, 2*dk) so the
+    # projection/output GEMMs have a 128-wide minor dim (full MXU lanes vs
+    # 50% at dk=64); scores/AV unpack the pair via a free minor-dim reshape
+    # into an extra batch axis — zero extra FLOPs, unlike packed_heads'
+    # block-diagonal construction. Single-key-chunk, no-dropout paths only;
+    # falls back to the chunked path otherwise. REJECTED on the full step
+    # (6.67 vs 7.42 steps/s at L=188, t5-base): isolated-stack wins
+    # (1.6-2.3x, scripts/attn_layout_bench.py) did not transfer — the plain
+    # autodiff core re-saves fp32 probability residuals the single-chunk
+    # custom VJP avoids, and the 5-D batched einsums lower worse in the
+    # full graph. Kept as a tested correctness path and negative result.
+    packed_lanes: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -346,33 +358,54 @@ def attention(
     # around every attention boundary.
     d_in = x.shape[-1]
 
-    def proj(src, w):  # (B, L, D) @ (D, H*dk) -> (B, H, L, dk)
+    # packed_lanes (see T5Config): project head PAIRS as (B, H/2, L, 2*dk)
+    # so projection/output GEMMs see 128-wide minors; the packed core
+    # unpacks via free minor-dim reshapes. Same einsum strings — only the
+    # weight reshape and the (Hp, dkp) head geometry change.
+    packed = (
+        cfg.packed_lanes
+        and H % 2 == 0
+        and deterministic
+        and cfg.attention_impl == "chunked"
+        and not cfg.flash_kernel
+        and not cfg.packed_heads
+        and Lk <= cfg.attention_chunk
+    )
+    Hp, dkp = (H // 2, 2 * dk) if packed else (H, dk)
+
+    def proj(src, w):  # (B, L, D) @ (D, H*dk) -> (B, Hp, L, dkp)
         return jnp.einsum(
-            "bld,dhk->bhlk", src, w.astype(dt).reshape(d_in, H, dk)
+            "bld,dhk->bhlk", src, w.astype(dt).reshape(d_in, Hp, dkp)
         )
 
     if "qkv" in p:
-        w3 = p["qkv"].astype(dt).reshape(d_in, 3, H, dk)
+        w3 = p["qkv"].astype(dt).reshape(d_in, 3, Hp, dkp)
         qkv = jnp.einsum("bld,dthk->tbhlk", x, w3)
         q, k, v = qkv[0], qkv[1], qkv[2]
     elif "kv" in p:
         q = proj(x, p["q"])
-        w2 = p["kv"].astype(dt).reshape(d_in, 2, H, dk)
+        w2 = p["kv"].astype(dt).reshape(d_in, 2, Hp, dkp)
         kvp = jnp.einsum("bld,dthk->tbhlk", kv, w2)
         k, v = kvp[0], kvp[1]
     elif cfg.fused_qkv and x is kv:
         w = jnp.concatenate([p["q"], p["k"], p["v"]], axis=1).astype(dt)
-        qkv = jnp.einsum("bld,dthk->tbhlk", x, w.reshape(d_in, 3, H, dk))
+        qkv = jnp.einsum("bld,dthk->tbhlk", x, w.reshape(d_in, 3, Hp, dkp))
         q, k, v = qkv[0], qkv[1], qkv[2]
     elif cfg.fused_qkv:
         q = proj(x, p["q"])
         w = jnp.concatenate([p["k"], p["v"]], axis=1).astype(dt)
-        kvp = jnp.einsum("bld,dthk->tbhlk", kv, w.reshape(d_in, 2, H, dk))
+        kvp = jnp.einsum("bld,dthk->tbhlk", kv, w.reshape(d_in, 2, Hp, dkp))
         k, v = kvp[0], kvp[1]
     else:
         q = proj(x, p["q"])
         k = proj(kv, p["k"])
         v = proj(kv, p["v"])
+
+    if packed:
+        out = _packed_lane_attention(q, k, v, bias)
+        return jnp.einsum(
+            "bhld,hdo->blo", out, p["o"].astype(dt).reshape(Hp, dkp, -1)
+        )
 
     if cfg.attention_impl == "chunked" and not deterministic:
         raise ValueError(
@@ -406,6 +439,39 @@ def attention(
     return jnp.einsum(
         "bhld,hdo->blo", out, p["o"].astype(dt).reshape(H, dk, -1)
     )
+
+
+def _packed_lane_attention(q, k, v, bias) -> jax.Array:
+    """Head-pair LANE-packed attention core (cfg.packed_lanes).
+
+    q/k/v: (B, G, L, 2*dk) — head pair (2g, 2g+1) packed along the minor
+    dim. The reshape to (B, G, L, 2, dk) is free (minor-dim subdivision);
+    scores/AV batch over (b, g, t) so each head's contraction stays exactly
+    dk — zero extra FLOPs, unlike the rejected block-diagonal packed_heads.
+    Softmax numerics match the single-chunk fast path (max-subtract, 1e-30
+    clamp). Plain autodiff: residuals include the fp32 probability tensor,
+    so this path targets L <= chunk configs where that fits comfortably.
+    """
+    B, G, Lq, kk = q.shape
+    dk = kk // 2
+    Lk = k.shape[2]
+    qt = q.reshape(B, G, Lq, 2, dk)
+    kt = k.reshape(B, G, Lk, 2, dk)
+    vt = v.reshape(B, G, Lk, 2, dk)
+    s = jnp.einsum(
+        "bgqtd,bgktd->bgtqk", qt, kt, preferred_element_type=jnp.float32
+    )
+    cb = _combine_bias(bias)
+    if cb is not None:
+        if cb.shape[1] == 1:  # head-broadcast bias (e.g. pure padding mask)
+            s = s + cb[:, :, None]
+        else:  # per-head (1|B, H, Lq, Lk): h = g*2 + t matches the packing
+            s = s + cb.reshape(cb.shape[0], G, 2, cb.shape[2], cb.shape[3])
+    m = s.max(axis=-1, keepdims=True)
+    w = jnp.exp(s - m)
+    w = (w / jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-30)).astype(q.dtype)
+    o = jnp.einsum("bgtqk,bgktd->bgqtd", w, vt)
+    return o.reshape(B, G, Lq, kk)
 
 
 def _packed_pair_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:

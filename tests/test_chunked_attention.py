@@ -268,3 +268,66 @@ def test_packed_pair_attention_matches_dense():
     g_p = jax.grad(loss)(params, cfg_p)
     for kd, kp in zip(jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(kd), np.asarray(kp), rtol=3e-3, atol=3e-5)
+
+
+def test_packed_lanes_attention_matches_dense():
+    """packed_lanes: head-pair lane packing (projection to (B, H/2, L, 2dk)
+    + reshape-unpacked scores/AV) must equal the dense per-head path in
+    outputs AND gradients — it is the same math with different GEMM tiling
+    and zero extra FLOPs."""
+    import dataclasses
+
+    from pacednegatives_tpu.models import T5Config, forward_logits, init_params
+
+    cfg = T5Config.tiny(vocab_size=128)
+    params = init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(2, 128, (4, 24)), jnp.int32)
+    ids = ids * (jnp.arange(24) < 20)  # some padding
+    mask = (ids != 0).astype(jnp.int32)
+    labels = jnp.asarray(rng.integers(2, 128, (4, 2)), jnp.int32)
+
+    cfg_d = dataclasses.replace(cfg, attention_impl="dense")
+    cfg_p = dataclasses.replace(
+        cfg, attention_impl="chunked", attention_chunk=64, packed_lanes=True
+    )
+    out_d = forward_logits(params, cfg_d, ids, labels, mask)
+    out_p = forward_logits(params, cfg_p, ids, labels, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_p), rtol=2e-4, atol=2e-4
+    )
+
+    def loss(ps, c):
+        lg = forward_logits(ps, c, ids, labels, mask)
+        return jnp.mean(jax.nn.log_softmax(lg)[..., 5])
+
+    g_d = jax.grad(loss)(params, cfg_d)
+    g_p = jax.grad(loss)(params, cfg_p)
+    for kd, kp in zip(jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(kd), np.asarray(kp), rtol=3e-3, atol=3e-5)
+
+
+def test_packed_lanes_multichunk_fallback():
+    """packed_lanes must silently fall back to the chunked path when the
+    key length exceeds the chunk (multi-chunk regime it doesn't support),
+    and still produce dense-equal outputs."""
+    import dataclasses
+
+    from pacednegatives_tpu.models import T5Config, forward_logits, init_params
+
+    cfg = T5Config.tiny(vocab_size=128)
+    params = init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(2, 128, (2, 40)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    labels = jnp.asarray(rng.integers(2, 128, (2, 2)), jnp.int32)
+
+    cfg_d = dataclasses.replace(cfg, attention_impl="dense")
+    cfg_p = dataclasses.replace(
+        cfg, attention_impl="chunked", attention_chunk=16, packed_lanes=True
+    )
+    out_d = forward_logits(params, cfg_d, ids, labels, mask)
+    out_p = forward_logits(params, cfg_p, ids, labels, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_p), rtol=2e-4, atol=2e-4
+    )
