@@ -142,6 +142,14 @@ class TrainedTokenizer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._tok.save(path)
 
+    def save_sentencepiece(self, path: str) -> None:
+        """Also exportable as a standard sentencepiece ``spiece.model``
+        (the reference's tokenizer artifact format — data/spm_export.py)."""
+        from pacednegatives_tpu.data.spm_export import export_sentencepiece
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        export_sentencepiece(self, path)
+
     @classmethod
     def load(cls, path: str) -> "TrainedTokenizer":
         from tokenizers import Tokenizer as HFTokenizer

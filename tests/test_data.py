@@ -181,3 +181,42 @@ def test_encode_batch_matches_encode(corpus):
     tok = TrainedTokenizer.train(corpus.doc_texts, vocab_size=300)
     texts = corpus.doc_texts[:20] + corpus.query_texts[:5]
     assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]
+
+
+def test_sentencepiece_export_roundtrip(tmp_path, corpus):
+    """spm_export writes a standard sentencepiece Unigram ModelProto
+    (SURVEY §2.7 tokenizer-artifact parity). Validated two ways: an
+    independent protobuf parser (protoc --decode_raw, run during
+    development) confirmed the wire layout; here the in-repo reader
+    round-trips every piece/score/type and the trainer id fields."""
+    from pacednegatives_tpu.data.spm_export import (
+        CONTROL,
+        UNKNOWN,
+        USER_DEFINED,
+        read_model,
+    )
+
+    tok = TrainedTokenizer.train(corpus.doc_texts, vocab_size=300)
+    path = str(tmp_path / "spiece.model")
+    tok.save_sentencepiece(path)
+
+    m = read_model(path)
+    assert m["trainer"]["model_type"] == 1  # UNIGRAM
+    assert m["trainer"]["vocab_size"] == len(m["pieces"]) == tok.vocab_size
+    assert m["trainer"]["pad_id"] == tok.pad_id
+    assert m["trainer"]["eos_id"] == tok.eos_id
+    assert m["trainer"]["bos_id"] == -1  # T5 convention: no BOS
+    assert m["trainer"]["unk_id"] == m["pieces"].index(
+        ("<unk>", 0.0, UNKNOWN)
+    )
+    # piece order preserves tokenizer ids; types follow T5 conventions
+    import json as _json
+
+    vocab = _json.loads(tok._tok.to_str())["model"]["vocab"]
+    assert [p for p, _, _ in m["pieces"]] == [p for p, _ in vocab]
+    byname = {p: t for p, _, t in m["pieces"]}
+    assert byname["<pad>"] == CONTROL and byname["</s>"] == CONTROL
+    assert byname["<true>"] == USER_DEFINED and byname["<false>"] == USER_DEFINED
+    # scores survive the float32 round trip
+    for (p, s, _), (p2, s2) in zip(m["pieces"], vocab):
+        assert abs(s - s2) < 1e-6 * max(1.0, abs(s2))
