@@ -267,6 +267,13 @@ class OnlineMiningLoop:
     eval_every_steps: int = 0
     checkpoint_dir: str | None = None
     checkpoint_every_steps: int = 0
+    # Checkpoint the mined-index embeddings next to each model checkpoint
+    # (step_N/index.npz) and reload them on resume, making a resumed run
+    # BIT-EXACT with an uninterrupted one (otherwise the index is
+    # re-encoded with the restored params, and mined pools can differ
+    # until the next scheduled refresh). Off by default: the snapshot
+    # costs index-size disk per checkpoint (~4.5 GB int8 at 8.8M docs).
+    checkpoint_index: bool = False
     exclude_pairs: tuple = ()  # held-out rows never fed to training
     log_mode: str = "last"  # "last" | "mean" | "all" (see TrainLoop)
     # When set, the corpus is threaded through the jit boundary as an
@@ -298,14 +305,40 @@ class OnlineMiningLoop:
             carry, idx, self.corpus
         )
 
+    def _index_snapshot_path(self, step: int) -> str:
+        import os
+
+        return os.path.join(self.checkpoint_dir, f"step_{step}", "index.npz")
+
+    def _save_index(self, embeddings, step: int) -> None:
+        leaves = jax.tree_util.tree_leaves(embeddings)
+        np.savez(
+            self._index_snapshot_path(step),
+            *[np.asarray(jax.device_get(l)) for l in leaves],
+        )
+
+    def _load_index(self, step: int):
+        """None if no snapshot. Leaf count encodes the structure: one array
+        is a plain fp32 index, two are the (int8 values, scales) pair from
+        quantize_embeddings — the only two shapes refresh_fn produces."""
+        import os
+
+        path = self._index_snapshot_path(step)
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            arrs = [z[k] for k in z.files]
+        return arrs[0] if len(arrs) == 1 else tuple(arrs)
+
     def run(self, state: TrainState, total_steps: int, writer=None):
         """Resume note: the data stream and refresh cadence are aligned to
-        the ABSOLUTE step, but the index itself is not checkpointed — a
-        resumed run re-encodes the corpus with the restored params at the
-        resume point, so mined pools can differ from an uninterrupted run
-        between the resume step and the next scheduled refresh (documented
-        divergence; exact index resume would require checkpointing the full
-        embedding matrix)."""
+        the ABSOLUTE step. With ``checkpoint_index=True`` the index
+        snapshot saved beside the model checkpoint is reloaded here, making
+        the resumed run bit-exact with an uninterrupted one; without it the
+        index is re-encoded from the restored params, so mined pools can
+        differ between the resume step and the next scheduled refresh
+        (tests/test_online.py::test_index_checkpoint_resume_bit_exact
+        pins both behaviors)."""
         import os
         import time
 
@@ -324,7 +357,11 @@ class OnlineMiningLoop:
         for _ in range(start_step):  # resume: skip consumed batches
             next(stream)
 
-        embeddings = self.refresh_fn(state.params)
+        embeddings = None
+        if self.checkpoint_index and self.checkpoint_dir and start_step:
+            embeddings = self._load_index(start_step)
+        if embeddings is None:
+            embeddings = self.refresh_fn(state.params)
         if self.embedding_sharding is not None:
             embeddings = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self.embedding_sharding)
@@ -347,6 +384,7 @@ class OnlineMiningLoop:
         # refresh on absolute-step boundaries so cadence survives restarts
         next_refresh = ((done // self.refresh_every) + 1) * self.refresh_every
         swap_at = None  # overlapped refresh: step at which collect() lands
+        index_ckpt_step = None  # pending post-refresh index snapshot
         t0 = time.time()
         while done < total_steps:
             k = min(self.chunk_size, total_steps - done)
@@ -389,6 +427,11 @@ class OnlineMiningLoop:
                 save_checkpoint(
                     os.path.join(self.checkpoint_dir, f"step_{done}"), carry[0]
                 )
+                # The index snapshot is written at the END of this iteration
+                # (after a refresh scheduled at this same boundary has run):
+                # a resumed run computes next_refresh PAST this step, so it
+                # needs the post-refresh index to be bit-exact.
+                index_ckpt_step = done if self.checkpoint_index else None
             if (
                 self.eval_fn is not None
                 and self.eval_every_steps
@@ -433,6 +476,12 @@ class OnlineMiningLoop:
                     embeddings = self.refresh_fn(state.params)
                     carry = (state, embeddings)
                 next_refresh += self.refresh_every
+            if index_ckpt_step is not None:
+                # post-refresh (see checkpoint note above). With an
+                # OVERLAPPED refresh in flight the snapshot captures the
+                # pre-swap carry — exact resume is a single-mesh guarantee.
+                self._save_index(carry[1], index_ckpt_step)
+                index_ckpt_step = None
         if self.overlap is not None and self.overlap.in_flight:
             # don't leak an in-flight refresh past the end of the run
             self.overlap.collect(target_sharding=self.embedding_sharding)

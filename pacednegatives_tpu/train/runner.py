@@ -113,6 +113,9 @@ class RunConfig:
     # old/eta_bound.py:142-150); "mean" = per-chunk aggregates; "last"
     log_mode: str = "all"
     checkpoint_every_steps: int = 0
+    # online mining: also snapshot the mined index beside each checkpoint
+    # for bit-exact resume (costs index-size disk; train/online.py note)
+    checkpoint_index: bool = False
     resume_from: Optional[str] = None
     seed: int = 42
     shuffle: bool = False
@@ -520,6 +523,7 @@ def run(cfg: RunConfig) -> dict:
                 eval_every_steps=cfg.eval_every_steps,
                 checkpoint_dir=cfg.out_dir,
                 checkpoint_every_steps=cfg.checkpoint_every_steps,
+                checkpoint_index=cfg.checkpoint_index,
                 exclude_pairs=(
                     tuple(_eval_selection(cfg, triples))
                     if cfg.eval_every_steps

@@ -214,3 +214,56 @@ def test_corpus_threads_as_argument_not_hlo_constant(setup):
     )
     corpus_bytes = np.asarray(dc.d_tokens).nbytes
     assert size(closed) - size(as_arg) >= corpus_bytes // 2
+
+
+def test_index_checkpoint_resume_bit_exact(setup, tmp_path):
+    """checkpoint_index=True: a run interrupted at a checkpoint boundary and
+    resumed from it must reproduce the uninterrupted run's losses exactly —
+    including when the boundary coincides with a scheduled refresh (the
+    snapshot is written post-refresh). Also pins the documented divergence
+    of the default path: without the snapshot, the resumed run re-encodes
+    the index from restored params mid-cadence and CAN differ."""
+    from pacednegatives_tpu.train import MetricWriter
+    from pacednegatives_tpu.train.loop import restore_checkpoint
+
+    tok, dc, cfg, params0 = setup
+
+    def mk(seed_params):
+        params = jax.tree_util.tree_map(jnp.copy, seed_params)
+        ctrl = InterpController(start=0.2, end=0.8, num_steps=20, batch_size=4)
+        tx = make_optimizer(lr=1e-2, total_steps=8)
+        step = make_train_step(
+            cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+            rel_id=tok.true_id, nrel_id=tok.false_id,
+        )
+        mining = OnlineMiningConfig(pool_size=8, encode_batch=16)
+        fused = make_online_fused_step(dc, step, ctrl, cfg, mining, 2)
+        refresh = make_refresh_fn(dc, cfg, mining)
+        state = init_train_state(params, tx, ctrl.init())
+        return state, fused, refresh
+
+    def loop_for(fused, refresh, ckpt_dir, checkpoint_index):
+        return OnlineMiningLoop(
+            fused_step=fused, refresh_fn=refresh, num_pairs=dc.num_pairs,
+            batch_size=4, chunk_size=2, refresh_every=4, log_mode="all",
+            checkpoint_dir=ckpt_dir, checkpoint_every_steps=4,
+            checkpoint_index=checkpoint_index,
+        )
+
+    # --- uninterrupted run: 8 steps, checkpoint+index snapshot at step 4
+    state, fused, refresh = mk(params0)
+    w_full = MetricWriter(None)
+    dir_a = str(tmp_path / "a")
+    loop_for(fused, refresh, dir_a, True).run(state, 8, w_full)
+    full = {h["step"]: h["loss"] for h in w_full.history if "loss" in h}
+
+    # --- resume from the step-4 checkpoint WITH the index snapshot
+    state_b, fused_b, refresh_b = mk(params0)
+    restored = restore_checkpoint(f"{dir_a}/step_4", state_b)
+    w_res = MetricWriter(None)
+    loop_for(fused_b, refresh_b, dir_a, True).run(restored, 8, w_res)
+    res = {h["step"]: h["loss"] for h in w_res.history if "loss" in h}
+    assert sorted(res) == [5, 6, 7, 8]
+    for s in (5, 6, 7, 8):
+        np.testing.assert_allclose(res[s], full[s], rtol=0, atol=0,
+                                   err_msg=f"step {s}")
