@@ -187,3 +187,67 @@ def test_sharded_training_on_8_device_mesh(setup):
         state2, metrics = jax.jit(fused)(state, pair_idx)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_meta_std_gradient_matches_finite_differences(setup):
+    """SURVEY §7 hard-part 1 oracle: the std (StdWrapper) bilevel update's
+    gradient-THROUGH-the-virtual-SGD-update must match central finite
+    differences of the outer objective
+
+        F(v) = weighted_CE(theta - lr * d/dtheta weighted_CE(theta, v), v)
+               - sum(v)
+
+    evaluated with real model applies. The stored table row after one step
+    must equal sigmoid(v - lr * gv_fd) — binding the in-step jax.grad
+    composition (train/step.py make_meta_train_step variant="std") to the
+    numerical derivative, not to another autodiff expression."""
+    _, tok, store, triples, dc, cfg, params = setup
+    from pacednegatives_tpu.train.step import _ce_and_first_logits
+
+    table = MetaWeightTable(num_batches=8, batch_size=3)
+    tx = make_optimizer(lr=1e-3, total_steps=4)
+    lr = 0.05  # constant meta lr so the oracle sees the same value
+    step = jax.jit(
+        make_meta_train_step(
+            cfg, table, tx, lambda s: jnp.float32(lr), variant="std",
+            rel_id=tok.true_id, nrel_id=tok.false_id,
+        )
+    )
+    state = init_train_state(params, tx, table.init())
+    batch = dc.pair_batch(jnp.arange(3), jnp.float32(0.4))
+
+    def per_example(p):
+        pce, _ = _ce_and_first_logits(
+            p, cfg, batch["pos_ids"], batch["pos_mask"], batch["pos_labels"]
+        )
+        nce, _ = _ce_and_first_logits(
+            p, cfg, batch["neg_ids"], batch["neg_mask"], batch["neg_labels"]
+        )
+        return pce, nce
+
+    def F(v):
+        def weighted(p):
+            pce, nce = per_example(p)
+            return jnp.sum(pce * v) / 3 + jnp.sum(nce * v) / 3
+
+        g = jax.grad(weighted)(state.params)
+        virt = jax.tree_util.tree_map(lambda p_, g_: p_ - lr * g_,
+                                      state.params, g)
+        pce, nce = per_example(virt)
+        return float(jnp.sum(pce * v) / 3 + jnp.sum(nce * v) / 3
+                     - jnp.sum(v))
+
+    v0 = np.ones(3, np.float32)
+    eps = 1e-2
+    gv_fd = np.zeros(3, np.float64)
+    for i in range(3):
+        e = np.zeros(3, np.float32)
+        e[i] = eps
+        gv_fd[i] = (F(jnp.asarray(v0 + e)) - F(jnp.asarray(v0 - e))) / (2 * eps)
+
+    new_state, _ = step(state, batch, jnp.int32(2))
+    got = np.asarray(table.lookup(new_state.curriculum, jnp.int32(2)))
+    want = 1.0 / (1.0 + np.exp(-(v0 - lr * gv_fd)))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-3)
+    # the gradient is non-trivial (weights actually moved off sigmoid(1))
+    assert np.max(np.abs(gv_fd)) > 0.1
