@@ -39,6 +39,12 @@ import jax.numpy as jnp
 # t5-base fused chunk); every later run — including the driver's end-of-round
 # run in the same working tree — hits the cache and fits the wall budget
 # easily. Disable with BENCH_COMPILE_CACHE=0.
+# BENCH_FORCE_CPU=1: run the whole bench on the host CPU backend (tiny
+# models only — for smoke-testing bench changes when the TPU tunnel is
+# down; the sitecustomize-pinned axon platform otherwise hangs device init).
+if os.environ.get("BENCH_FORCE_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
     _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".jax_cache")
@@ -356,6 +362,43 @@ def bench_reference_style(cfg, tok, corpus, store, triples, params, batch_size, 
     return steps / dt
 
 
+def bench_rerank(cfg, tok, store, params, steps):
+    """Serving-side throughput: monoT5 relevance scoring (the reference's
+    eval-time workload — eval.py:26 BM25 >> monoT5 rerank). One encoder
+    pass + one decode step per doc; inference-only, so batch is free to be
+    large. Reports docs scored/sec/chip at the training prompt length."""
+    import time
+
+    from pacednegatives_tpu.models.monot5 import score_batch
+
+    B = int(os.environ.get("BENCH_RERANK_BATCH", "256"))
+    L = store.prompt_len
+    rng = np.random.default_rng(0)
+    n_q = store.q_tokens.shape[0]
+    n_d = store.d_tokens.shape[0]
+
+    def batch(i):
+        q = rng.integers(0, n_q, size=B)
+        d = rng.integers(0, n_d, size=B)
+        ids, _ = store.assemble_host(q, d)
+        return jnp.asarray(ids)
+
+    score = jax.jit(
+        lambda p, ids: score_batch(
+            p, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
+        )
+    )
+    s = score(params, batch(0))
+    float(np.asarray(s)[-1])  # compile + fetch-sync
+    # fresh inputs each call (dedup note in bench_fused)
+    batches = [batch(i) for i in range(steps)]
+    t0 = time.perf_counter()
+    out = [score(params, b) for b in batches]
+    float(np.asarray(out[-1])[-1])
+    dt = time.perf_counter() - t0
+    return steps * B / dt, L
+
+
 def bench_scale():
     """1M-doc online-mining scale smoke (SURVEY §7 north star scale point;
     VERDICT r1 item 9): int16 doc tokens + int8 quantized index in HBM,
@@ -540,6 +583,11 @@ def run_phase(phase: str):
             "flops_per_step": bench_fused.flops_per_step,
             "prompt_len": bench_fused.prompt_len,
         }))
+    elif phase == "rerank":
+        dps, L = bench_rerank(cfg, tok, store, params, max(steps // 2, 5))
+        print(json.dumps({
+            "phase": "rerank", "docs_per_sec": dps, "prompt_len": L,
+        }))
     else:
         sps = bench_reference_style(
             cfg, tok, corpus, store, triples, params, batch_size, n,
@@ -620,6 +668,10 @@ def _emit(results, batch_size, n, model, skipped):
             {k: v for k, v in results["scale"].items()
              if k.startswith("scale_")}
         )
+    if "rerank" in results:
+        record["rerank_docs_per_sec"] = round(
+            results["rerank"]["docs_per_sec"], 1
+        )
     if skipped:
         record["skipped_phases"] = sorted(skipped)
     print(json.dumps(record), flush=True)
@@ -694,6 +746,8 @@ def main():
         )
     if measure_scale:
         phases.append(("scale", {}, False, 300))
+    if os.environ.get("BENCH_RERANK", "1") == "1":
+        phases.append(("rerank", {}, False, 180))
 
     results = {}
     skipped = {}
