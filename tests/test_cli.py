@@ -147,3 +147,17 @@ def test_train_cli_main(tmp_path):
         argv += [f"--{k}", str(v)]
     summary = main(argv=argv)
     assert summary["steps"] == 6
+
+
+def test_runner_flat_tokens_label_grouping(tmp_path):
+    """--label_grouping flat_tokens (the reference-verbatim nce.view(-1, n)
+    regrouping) must thread from RunConfig through make_train_step and run
+    end-to-end; it is only meaningful for the LCE curriculum."""
+    cfg = RunConfig(
+        curriculum="lce", out_dir=str(tmp_path / "flat"),
+        eta0=8.0, eta_max=10.0, n=2, label_grouping="flat_tokens", **TINY,
+    )
+    summary = run(cfg)
+    assert summary["steps"] == 24 // 4
+    if summary["final_loss"] is not None:
+        assert np.isfinite(summary["final_loss"])
