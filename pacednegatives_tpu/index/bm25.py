@@ -50,11 +50,21 @@ def _load_lib():
     except AttributeError:
         # A stale liblexical.so from an older commit lacks newer symbols
         # (e.g. lex_stem). Force a rebuild once and retry before giving up
-        # to the NumPy fallback.
+        # to the NumPy fallback. dlopen caches by PATHNAME and ctypes never
+        # dlcloses, so re-loading _LIB_PATH would return the stale
+        # in-memory image — load the rebuilt file through a fresh temp
+        # pathname instead (unlinked after load; the mapping persists).
         if not _make(force=True):
             return None
+        import shutil
+        import tempfile
+
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            fd, fresh = tempfile.mkstemp(suffix=".so", prefix="liblexical.")
+            os.close(fd)
+            shutil.copy2(_LIB_PATH, fresh)
+            lib = ctypes.CDLL(fresh)
+            os.unlink(fresh)
             _bind(lib)
         except (OSError, AttributeError):
             return None

@@ -107,6 +107,17 @@ class T5Config:
     # custom VJP avoids, and the 5-D batched einsums lower worse in the
     # full graph. Kept as a tested correctness path and negative result.
     packed_lanes: bool = False
+    # flash_v3: route encoder-shaped self-attention (Lq == Lk <= 512,
+    # dk 64/128, deterministic) through the fused projection+attention+
+    # output-projection Mosaic kernel (ops/flash_v3.py): one wide QKV GEMM
+    # in VMEM (full 128-lane tiles vs ~45% MXU at the 64-minor per-head
+    # einsum), per-head softmax core and output projection without q/k/v/
+    # scores/attention-outputs ever touching HBM, and a backward kernel
+    # that recomputes them from the saved (m, l) statistics. Independent
+    # of flash_kernel (v1/v2, which fuse only the softmax core). Best run
+    # with fused_qkv=True so the weight concat is hoisted once per step.
+    # See docs/flash_v3_design.md for the go/no-go measurement plan.
+    flash_v3: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -357,6 +368,42 @@ def attention(
     # XLA pick L-minor activation layouts and sprinkle relayout copies
     # around every attention boundary.
     d_in = x.shape[-1]
+
+    # flash_v3 (see T5Config): the fused block kernel consumes x BEFORE
+    # projection — the whole q/k/v -> softmax -> output-projection block
+    # runs in VMEM. Self-attention only (x is kv), lazy-bias callers only
+    # (encoder/decoder stacks pass the (shared, per_batch) tuple), no
+    # attention-weight dropout.
+    if (
+        cfg.flash_v3
+        and deterministic
+        and x is kv
+        and isinstance(bias, tuple)
+    ):
+        from pacednegatives_tpu.ops.flash_v3 import (
+            flash_v3_eligible,
+            fused_self_attention,
+        )
+
+        if flash_v3_eligible(H, Lq, Lk, dk, d_in):
+            shared, per_batch = bias
+            w3 = (
+                p["qkv"] if "qkv" in p
+                else jnp.concatenate([p["q"], p["k"], p["v"]], axis=-1)
+            ).astype(dt)
+            pos3 = (
+                jnp.broadcast_to(shared[0], (H, Lq, Lk)).astype(jnp.float32)
+                if shared is not None
+                else jnp.zeros((H, Lq, Lk), jnp.float32)
+            )
+            key_mask = (
+                per_batch.reshape(B, Lk).astype(jnp.float32)
+                if per_batch is not None
+                else jnp.zeros((B, Lk), jnp.float32)
+            )
+            return fused_self_attention(
+                x, w3, p["o"].astype(dt), pos3, key_mask
+            )
 
     # packed_lanes (see T5Config): project head PAIRS as (B, H/2, L, 2*dk)
     # so projection/output GEMMs see 128-wide minors; the packed core

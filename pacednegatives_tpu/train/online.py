@@ -292,6 +292,18 @@ class OnlineMiningLoop:
     embedding_sharding: "object | None" = None
 
     def __post_init__(self):
+        if self.checkpoint_index and self.overlap is not None:
+            # The bit-exact resume contract cannot hold with a refresh in
+            # flight: the snapshot cannot capture in-flight encode work, so
+            # a restart would lose it and mine from a different index than
+            # the uninterrupted run. Reject loudly instead of silently
+            # weakening a documented guarantee.
+            raise ValueError(
+                "checkpoint_index=True is a single-mesh guarantee and is "
+                "not supported together with an overlapped refresh "
+                "(overlap=...); checkpoint at refresh-quiescent boundaries "
+                "or disable one of the two"
+            )
         if self.corpus is not None:
             def chunk_fn(carry, idx_chunk, corpus):
                 body = lambda c, i: self.fused_step(c, i, corpus)
@@ -477,12 +489,14 @@ class OnlineMiningLoop:
                     carry = (state, embeddings)
                 next_refresh += self.refresh_every
             if index_ckpt_step is not None:
-                # post-refresh (see checkpoint note above). With an
-                # OVERLAPPED refresh in flight the snapshot captures the
-                # pre-swap carry — exact resume is a single-mesh guarantee.
+                # post-refresh (see checkpoint note above); overlap +
+                # checkpoint_index is rejected in __post_init__, so the
+                # carry here is always the fully-settled index.
                 self._save_index(carry[1], index_ckpt_step)
                 index_ckpt_step = None
         if self.overlap is not None and self.overlap.in_flight:
-            # don't leak an in-flight refresh past the end of the run
-            self.overlap.collect(target_sharding=self.embedding_sharding)
+            # don't leak an in-flight refresh past the end of the run —
+            # discard() drops it without paying the full index assembly
+            # nobody would read
+            self.overlap.discard()
         return carry[0]

@@ -186,6 +186,16 @@ class OverlappedRefresher:
             for off, size, t, m in self._slices
         ]
 
+    def discard(self) -> None:
+        """Drop an in-flight refresh without assembling the index.
+
+        Releases the pending per-slice buffers; outstanding encode work on
+        the device completes on its own and its results are freed. Use at
+        shutdown — ``collect()`` would pay a full-size allocation plus all
+        cross-mesh transfers for a result nobody reads (at the 8.8M-doc
+        design point that is a ~4.5 GB assembly)."""
+        self._pending = None
+
     def collect(self, target_sharding=None, old=None):
         """Assemble the new index. ``target_sharding`` places the result
         (e.g. the train mesh's P("data", None)); ``old`` may donate the

@@ -128,6 +128,11 @@ def make_train_step(
     """
     if loss not in ("pair", "lce"):
         raise ValueError(loss)
+    if label_grouping not in ("per_example", "flat_tokens"):
+        raise ValueError(
+            f"label_grouping must be 'per_example' or 'flat_tokens', "
+            f"got {label_grouping!r}"
+        )
     n = n_neg_per_example
     k = microbatches
 

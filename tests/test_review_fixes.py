@@ -255,3 +255,48 @@ def test_stale_native_lib_triggers_rebuild(monkeypatch):
         return
     assert calls["n"] == 2  # rebuilt and re-bound
     assert hasattr(lib, "lex_stem")
+
+
+def test_genuinely_stale_native_lib_rebuilds_and_binds(tmp_path):
+    """A REAL stale .so (compiled without the newer symbols, loaded once so
+    dlopen caches its pathname) must still end in a working library: the
+    rebuild is loaded through a fresh temp pathname because dlopen caches by
+    path and ctypes never dlcloses — re-loading the original path would
+    return the stale in-memory image (round-3 review finding)."""
+    import shutil
+    import subprocess
+
+    from pacednegatives_tpu.index import bm25 as bm25mod
+
+    if shutil.which("g++") is None or shutil.which("make") is None:
+        pytest.skip("no native toolchain")
+
+    # build a stale library: defines lex_create but NOT lex_stem etc.
+    stale_src = tmp_path / "stale.cpp"
+    stale_src.write_text(
+        'extern "C" void* lex_create(int) { return nullptr; }\n'
+    )
+    stale_so = tmp_path / "stale.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(stale_so), str(stale_src)],
+        check=True, capture_output=True,
+    )
+
+    lib_path = bm25mod._LIB_PATH
+    backup = None
+    if os.path.exists(lib_path):
+        backup = lib_path + ".bak"
+        os.replace(lib_path, backup)
+    try:
+        shutil.copy2(stale_so, lib_path)
+        lib = bm25mod._load_lib()
+        assert lib is not None, "rebuild-from-stale returned the fallback"
+        assert hasattr(lib, "lex_stem")
+        # and the bound symbols actually work
+        import ctypes
+
+        out = ctypes.create_string_buffer(32)
+        assert lib.lex_stem(b"running", out, 32) > 0
+    finally:
+        if backup:
+            os.replace(backup, lib_path)
