@@ -82,6 +82,7 @@ def build(model_name: str):
         packed_heads=os.environ.get("BENCH_PACKED", "0") == "1",
         packed_lanes=os.environ.get("BENCH_PACKED_LANES", "0") == "1",
         flash_q_block=int(os.environ.get("BENCH_FLASH_QBLOCK", "512")),
+        flash_v3=os.environ.get("BENCH_FLASH_V3", "0") == "1",
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation
@@ -120,6 +121,7 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         rel_id=tok.true_id, nrel_id=tok.false_id,
         microbatches=int(os.environ.get("BENCH_MICROBATCH", "1")),
         microbatch_unroll=os.environ.get("BENCH_MICROBATCH_UNROLL", "0") == "1",
+        grad_accum_dtype=os.environ.get("BENCH_GRAD_ACCUM", "fp32"),
     )
     fused = make_fused_step(dc, step, ctrl, loss="lce", n_neg_per_example=n)
     state = init_train_state(params, tx, ctrl.init())

@@ -105,6 +105,9 @@ class RunConfig:
     # recompute; the TPU-native alternative to remat at long seq lengths
     microbatches: int = 1
     microbatch_unroll: bool = False
+    # "bf16" halves the grad-accumulation carry's HBM traffic (see
+    # train/step.py make_train_step); exact-default "fp32"
+    grad_accum_dtype: str = "fp32"
     # loop
     out_dir: str = "runs/out"
     chunk_size: int = 16
@@ -486,6 +489,7 @@ def run(cfg: RunConfig) -> dict:
             label_grouping=cfg.label_grouping,
             dropout=cfg.dropout, microbatches=cfg.microbatches,
             microbatch_unroll=cfg.microbatch_unroll,
+            grad_accum_dtype=cfg.grad_accum_dtype,
         )
         state = init_train_state(params, tx, controller.init(), seed=cfg.seed)
         state = _maybe_resume(cfg, state)

@@ -105,6 +105,15 @@ def make_train_step(
     # dW into the accumulator in place instead of copying the full fp32
     # grad pytree through the loop carry (measurable at t5-base scale)
     microbatch_unroll: bool = False,
+    # dtype of the grad-accumulation scan CARRY. "fp32" (default) is exact;
+    # "bf16" halves the carry's HBM traffic — at t5-base the fp32 grad
+    # pytree is ~0.9 GB and the scan reads+writes it every microbatch
+    # (~7.2 GB/step at k=4 ≈ 9 ms, the bulk of the step's unattributed
+    # copy-done time in the round-3 profile). Cost: one bf16 rounding per
+    # add; the per-microbatch g/k scaling is exact when k is a power of
+    # two. Opt-in because it perturbs the update numerically (bounded in
+    # tests/test_train_step.py::test_bf16_grad_accum_close).
+    grad_accum_dtype: str = "fp32",
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build step(state, batch) -> (state, metrics).
 
@@ -133,8 +142,14 @@ def make_train_step(
             f"label_grouping must be 'per_example' or 'flat_tokens', "
             f"got {label_grouping!r}"
         )
+    if grad_accum_dtype not in ("fp32", "bf16"):
+        raise ValueError(
+            f"grad_accum_dtype must be 'fp32' or 'bf16', "
+            f"got {grad_accum_dtype!r}"
+        )
     n = n_neg_per_example
     k = microbatches
+    acc_dt = jnp.float32 if grad_accum_dtype == "fp32" else jnp.bfloat16
 
     def step(state: TrainState, batch: Batch) -> tuple[TrainState, dict]:
         key, new_key = jax.random.split(state.key)
@@ -242,19 +257,19 @@ def make_train_step(
                 carry = (
                     loss_acc + l_i / k,
                     jax.tree_util.tree_map(
-                        lambda a, g: a + g / k, grads_acc, g_i
+                        lambda a, g: a + (g / k).astype(acc_dt), grads_acc, g_i
                     ),
                     jax.tree_util.tree_map(
-                        lambda a, g: a + g / k, gbias_acc, gb_i
+                        lambda a, g: a + (g / k).astype(acc_dt), gbias_acc, gb_i
                     ),
                 )
                 return carry, aux_i
 
             zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params_c
+                lambda p: jnp.zeros(p.shape, acc_dt), params_c
             )
             zero_gbias = jax.tree_util.tree_map(
-                lambda b: jnp.zeros(b.shape, jnp.float32), biases
+                lambda b: jnp.zeros(b.shape, acc_dt), biases
             )
             (main_loss, grads, gbias), aux_stack = jax.lax.scan(
                 accum, (jnp.zeros((), jnp.float32), zero_grads, zero_gbias),
@@ -266,6 +281,16 @@ def make_train_step(
                 lambda x: x.reshape((-1,) + x.shape[2:]), aux_stack
             )
         pce, nce, sig_p, sig_n, sig_ce, p_first, n_first = aux
+
+        if acc_dt != jnp.float32:
+            # the optimizer/bias-fold math stays fp32; only the scan carry
+            # was reduced-precision
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads
+            )
+            gbias = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), gbias
+            )
 
         if model_cfg.fused_qkv:
             grads = t5.split_attention_grads(grads)

@@ -42,10 +42,12 @@ def _setup(loss, n):
     return dc, cfg, params, ctrl, tx, tok
 
 
-def _run(dc, cfg, params, ctrl, tx, tok, loss, n, k, steps=3, batch=8):
+def _run(dc, cfg, params, ctrl, tx, tok, loss, n, k, steps=3, batch=8,
+         grad_accum_dtype="fp32"):
     step = make_train_step(
         cfg, ctrl, tx, loss=loss, n_neg_per_example=n, use_mean=True,
         rel_id=tok.true_id, nrel_id=tok.false_id, microbatches=k,
+        grad_accum_dtype=grad_accum_dtype,
     )
     fused = jax.jit(make_fused_step(dc, step, ctrl, loss=loss,
                                     n_neg_per_example=n))
@@ -79,6 +81,45 @@ def test_microbatched_step_matches_monolithic(loss, n):
     for p1, p4 in zip(flat1, flat4):
         np.testing.assert_allclose(
             np.asarray(p1), np.asarray(p4), rtol=3e-5, atol=3e-6
+        )
+
+
+def test_bf16_grad_accum_close():
+    """grad_accum_dtype="bf16" (half the scan-carry HBM traffic — the perf
+    lever behind the round-3 copy-done attribution) must stay CLOSE to the
+    exact fp32 accumulation: same curriculum decisions, parameter deltas
+    within bf16 rounding of the k-term sum. It is opt-in precisely because
+    it is not bit-exact; this pins the perturbation's magnitude."""
+    dc, cfg, params, ctrl, tx, tok = _setup("lce", 4)
+    s32, r32 = _run(dc, cfg, params, ctrl, tx, tok, "lce", 4, k=4)
+    s16, r16 = _run(dc, cfg, params, ctrl, tx, tok, "lce", 4, k=4,
+                    grad_accum_dtype="bf16")
+
+    for a, b in zip(r32, r16):
+        # loss is carried fp32 in both; curriculum signals derive from the
+        # forward (not the accumulated grads) and the slightly-perturbed
+        # params, so they track closely over a short run
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=5e-3)
+        np.testing.assert_allclose(a["eta"], b["eta"], rtol=5e-3, atol=5e-4)
+
+    # parameter DELTAS (param - init) agree to bf16-level relative error;
+    # comparing deltas, not params, keeps the bound meaningful for weights
+    # that barely move
+    init = jax.tree_util.tree_leaves(params)
+    for p0, p32, p16 in zip(init,
+                            jax.tree_util.tree_leaves(s32.params),
+                            jax.tree_util.tree_leaves(s16.params)):
+        d32 = np.asarray(p32, np.float32) - np.asarray(p0, np.float32)
+        d16 = np.asarray(p16, np.float32) - np.asarray(p0, np.float32)
+        denom = np.maximum(np.abs(d32).max(), 1e-8)
+        # bf16 rounds each accumulated add at ~0.4% relative, but Adam's
+        # per-element normalization (g / sqrt(v)) amplifies perturbations
+        # of near-zero gradient entries; observed max over 3 steps on this
+        # model is ~0.09, bounded at 0.15 to stay red for real bugs (a
+        # dtype mix-up or dropped microbatch lands at O(1))
+        assert np.abs(d16 - d32).max() / denom < 0.15, (
+            f"bf16 accumulation perturbed an update by "
+            f"{np.abs(d16 - d32).max() / denom:.3f} (shape {d32.shape})"
         )
 
 
