@@ -191,6 +191,63 @@ def test_attention_wiring():
         mod._INTERPRET_OK = old
 
 
+def test_full_train_step_interpret():
+    """flash_v3 through the FULL fused LCE train step (microbatch scan,
+    fused-qkv hoist + grad re-split, curriculum update) — the exact graph
+    the TPU bench measures — must run and stay close to the flag-off step.
+    Catches integration breaks (scan/batching rules, grad-split layout)
+    before TPU time is spent on the go/no-go measurement."""
+    import dataclasses
+
+    import pacednegatives_tpu.ops.flash_v3 as mod
+    from pacednegatives_tpu.curriculum import EtaController
+    from pacednegatives_tpu.data import (
+        DeviceCorpus, HashTokenizer, TextCorpus, TokenizedStore, TripletStore,
+    )
+    from pacednegatives_tpu.models import T5Config, init_params
+    from pacednegatives_tpu.train import (
+        init_train_state, make_fused_step, make_optimizer, make_train_step,
+    )
+
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=16, num_queries=8, seed=0,
+                                  doc_len=60, query_len=8)
+    # prompt len must clear the >= 64 eligibility floor
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=12,
+                                 max_d_tokens=48)
+    triples = TripletStore.synthetic(corpus, n_pairs=8, n_neg=4, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    cfg0 = T5Config.tiny(vocab_size=256)
+    params = init_params(jax.random.key(0), cfg0)
+
+    old = mod._INTERPRET_OK
+    mod._INTERPRET_OK = True
+    try:
+        outs = []
+        for v3 in (False, True):
+            cfg = dataclasses.replace(cfg0, flash_v3=v3, fused_qkv=True)
+            ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
+                                 total_steps=8)
+            tx = make_optimizer(lr=1e-2, total_steps=8)
+            step = make_train_step(cfg, ctrl, tx, loss="lce",
+                                   n_neg_per_example=2, rel_id=tok.true_id,
+                                   nrel_id=tok.false_id, microbatches=2)
+            fstep = make_fused_step(dc, step, ctrl, loss="lce",
+                                    n_neg_per_example=2)
+            state = init_train_state(params, tx, ctrl.init())
+            state, m = jax.jit(fstep)(state, jnp.arange(4, dtype=jnp.int32))
+            outs.append((state, float(m["loss"])))
+        (s0, l0), (s1, l1) = outs
+        assert np.isfinite(l1)
+        assert abs(l0 - l1) < 1e-3, (l0, l1)
+        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+    finally:
+        mod._INTERPRET_OK = old
+
+
 def test_fused_qkv_param_wiring():
     """With pre-fused params (the production hoist), the v3 branch consumes
     p['qkv'] directly and grads split back losslessly."""
