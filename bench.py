@@ -83,6 +83,7 @@ def build(model_name: str):
         packed_lanes=os.environ.get("BENCH_PACKED_LANES", "0") == "1",
         flash_q_block=int(os.environ.get("BENCH_FLASH_QBLOCK", "512")),
         flash_v3=os.environ.get("BENCH_FLASH_V3", "0") == "1",
+        attn_residual_dtype=os.environ.get("BENCH_ATTN_RES", "fp32"),
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation

@@ -118,6 +118,14 @@ class T5Config:
     # with fused_qkv=True so the weight concat is hoisted once per step.
     # See docs/flash_v3_design.md for the go/no-go measurement plan.
     flash_v3: bool = False
+    # Dtype for the chunked-attention custom-VJP residual out_bhqd
+    # (B, H, Lq, dk): it feeds ONLY D = sum(g * out) in the backward, so
+    # "bf16" halves its fwd->bwd HBM staging (the r3 HLO copy attribution
+    # charged ~0.65 GB/step of copy traffic to this residual at t5-base
+    # B=16 n=7 L=188, remat off) at the cost of bf16 rounding in D — the
+    # same rounding class as the bf16 matmul operands used everywhere else.
+    # "fp32" (default) is bit-identical to the established numerics.
+    attn_residual_dtype: str = "fp32"
 
     @staticmethod
     def small() -> "T5Config":
@@ -638,7 +646,9 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
         if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[2], dk)
         else "xla"
     )
-    out = _flash_core(C, impl, q, k, v, shared, per_batch)
+    out = _flash_core(
+        C, impl, cfg.attn_residual_dtype, q, k, v, shared, per_batch
+    )
     return out.astype(cfg.dtype)
 
 
@@ -771,8 +781,8 @@ def pallas_flash_eligible(Lq: int, Lk_padded: int, dk: int) -> bool:
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _flash_core(C, impl, q, k, v, shared, per_batch):
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_core(C, impl, res_dtype, q, k, v, shared, per_batch):
     kind, qb = _impl_kind(impl)
     if kind == "pallas":
         out, _ = _pallas_forward(C, qb, q, k, v, shared, per_batch)
@@ -781,12 +791,16 @@ def _flash_core(C, impl, q, k, v, shared, per_batch):
     return out
 
 
-def _flash_core_fwd(C, impl, q, k, v, shared, per_batch):
+def _flash_core_fwd(C, impl, res_dtype, q, k, v, shared, per_batch):
     kind, qb = _impl_kind(impl)
     if kind == "pallas":
         out, (m, l, out_bhqd) = _pallas_forward(C, qb, q, k, v, shared, per_batch)
     else:
         out, (m, l, out_bhqd) = _flash_forward(C, q, k, v, shared, per_batch)
+    if res_dtype == "bf16":
+        # the residual feeds only D = sum(g * out); softmax stats (m, l)
+        # stay fp32 (tiny, and exp(s - m) needs the exact m)
+        out_bhqd = out_bhqd.astype(jnp.bfloat16)
     return out, (q, k, v, shared, per_batch, m, l, out_bhqd)
 
 
@@ -815,7 +829,7 @@ def _pallas_backward(C, q_block, res, g):
         key_mask = per_batch.reshape(B, Lk)
 
     g_bhqd = g.astype(jnp.float32)
-    D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
+    D = jnp.sum(g_bhqd * out_bhqd.astype(jnp.float32), axis=-1)  # (B, H, Lq)
     if flash_v2_eligible(H, Lq, Lk, dk):
         dq_bh, dk_bh, dv_bh, dpos = flash_attention_backward_v2(
             q, k, v, pos3, key_mask, m, l, D, g_bhqd,
@@ -841,7 +855,7 @@ def _pallas_backward(C, q_block, res, g):
     )
 
 
-def _flash_core_bwd(C, impl, res, g):
+def _flash_core_bwd(C, impl, res_dtype, res, g):
     kind, qb = _impl_kind(impl)
     if kind == "pallas":
         return _pallas_backward(C, qb, res, g)
@@ -853,8 +867,9 @@ def _flash_core_bwd(C, impl, res, g):
     v_c = v.reshape(B, H, n_chunks, C, dk).transpose(2, 0, 1, 3, 4)
 
     g_bhqd = g.astype(jnp.float32)
-    # D_i = sum_d dout_i * out_i  (flash backward identity)
-    D = jnp.sum(g_bhqd * out_bhqd, axis=-1)  # (B, H, Lq)
+    # D_i = sum_d dout_i * out_i  (flash backward identity); the residual
+    # may be stored bf16 (attn_residual_dtype) — accumulate D in fp32
+    D = jnp.sum(g_bhqd * out_bhqd.astype(jnp.float32), axis=-1)  # (B, H, Lq)
 
     dshared_shape = shared.shape
     dper_shape = per_batch.shape

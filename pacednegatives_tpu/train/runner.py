@@ -53,6 +53,9 @@ class RunConfig:
     # fused Mosaic attention forward+backward for eligible shapes
     # (chunked impl, 128-aligned lengths; see models/t5.T5Config)
     flash_kernel: bool = False
+    # "bf16" halves the chunked-attention VJP residual's HBM staging
+    # (see models/t5.T5Config.attn_residual_dtype)
+    attn_residual_dtype: str = "fp32"
     dropout: bool = False
     # curriculum: interp | level | eta | lce | meta-cheap | meta-std
     curriculum: str = "lce"
@@ -156,6 +159,7 @@ def _build_model(cfg: RunConfig, tok):
         attention_impl=cfg.attention_impl,
         attention_chunk=cfg.attention_chunk,
         flash_kernel=cfg.flash_kernel,
+        attn_residual_dtype=cfg.attn_residual_dtype,
     )
     if cfg.model in ("tiny", "small", "base"):
         mk = {

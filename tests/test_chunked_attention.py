@@ -62,6 +62,38 @@ def test_chunked_gradients_match(setup):
         )
 
 
+def test_bf16_attention_residual_grads_close(setup):
+    """attn_residual_dtype="bf16" stores the VJP's saved attention output
+    in bf16 (it feeds only D = sum(g*out) in the backward). The forward
+    must be BIT-identical (residual dtype can't affect the primal), and
+    gradients must agree with the fp32-residual path to bf16 rounding."""
+    cfg, params, ids, labels = setup
+    base = dataclasses.replace(cfg, attention_impl="chunked", attention_chunk=8)
+    bf16 = dataclasses.replace(base, attn_residual_dtype="bf16")
+
+    np.testing.assert_array_equal(
+        np.asarray(forward_logits(params, bf16, ids, labels)),
+        np.asarray(forward_logits(params, base, ids, labels)),
+    )
+
+    def loss(p, c):
+        logits = forward_logits(p, c, ids, labels)
+        onehot = jax.nn.one_hot(labels, c.vocab_size)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
+
+    g32 = jax.jit(jax.grad(lambda p: loss(p, base)))(params)
+    g16 = jax.jit(jax.grad(lambda p: loss(p, bf16)))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 rounding of out (~2^-8 relative) enters only through D;
+        # it compounds slightly through ds = p*(dp - D) (measured max
+        # normalized delta 7.5e-3 on the tiny model's rel-bias tables)
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / denom, a / denom, atol=1.5e-2)
+
+
 def test_chunked_with_scan_layers(setup):
     cfg, params, ids, labels = setup
     ccfg = dataclasses.replace(
@@ -162,7 +194,7 @@ def test_pallas_backward_matches_xla_flash_backward():
     cot = jnp.asarray(rng.standard_normal((B, H, Lq, dk)), jnp.float32)
 
     def loss(impl, q, k, v, shared):
-        out = t5_mod._flash_core(64, impl, q, k, v, shared, per_batch)
+        out = t5_mod._flash_core(64, impl, "fp32", q, k, v, shared, per_batch)
         return jnp.sum(out * cot)
 
     gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3))(
