@@ -84,6 +84,7 @@ def build(model_name: str):
         flash_q_block=int(os.environ.get("BENCH_FLASH_QBLOCK", "512")),
         flash_v3=os.environ.get("BENCH_FLASH_V3", "0") == "1",
         attn_residual_dtype=os.environ.get("BENCH_ATTN_RES", "fp32"),
+        ffn_custom_vjp=os.environ.get("BENCH_FFN_VJP", "0") == "1",
     )
 
     # BENCH_DOC_TOKENS=484 reproduces the reference's 512-token truncation

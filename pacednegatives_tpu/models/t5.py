@@ -126,6 +126,14 @@ class T5Config:
     # same rounding class as the bf16 matmul operands used everywhere else.
     # "fp32" (default) is bit-identical to the established numerics.
     attn_residual_dtype: str = "fp32"
+    # Custom VJP for the ReLU FFN that saves ONLY the post-ReLU hidden
+    # (B, L, d_ff): the ReLU mask is recovered as h > 0 (identical to
+    # s > 0 for s != 0; at s == 0 both derivatives are 0), where plain
+    # autodiff's residual set includes the pre-ReLU product as well —
+    # the r3 HLO attribution charged 0.8 GB/step of FFN hidden staging.
+    # Same einsum order/dtypes as autodiff, so gradients are bit-close.
+    # Non-gated (v1.0 ReLU) FFN only; ignored for gated_ffn.
+    ffn_custom_vjp: bool = False
 
     @staticmethod
     def small() -> "T5Config":
@@ -988,6 +996,31 @@ def _flash_core_bwd(C, impl, res_dtype, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@jax.custom_vjp
+def _relu_ffn(x, wi, wo):
+    h = jax.nn.relu(jnp.einsum("bld,df->blf", x, wi))
+    return jnp.einsum("blf,fd->bld", h, wo)
+
+
+def _relu_ffn_fwd(x, wi, wo):
+    h = jax.nn.relu(jnp.einsum("bld,df->blf", x, wi))
+    return jnp.einsum("blf,fd->bld", h, wo), (x, wi, wo, h)
+
+
+def _relu_ffn_bwd(res, g):
+    x, wi, wo, h = res
+    dh = jnp.einsum("bld,fd->blf", g, wo)
+    # relu'(s) == (h > 0): exact wherever s != 0, and both are 0 at s == 0
+    ds = jnp.where(h > 0, dh, jnp.zeros((), dh.dtype))
+    dx = jnp.einsum("blf,df->bld", ds, wi)
+    dwi = jnp.einsum("bld,blf->df", x, ds)
+    dwo = jnp.einsum("blf,bld->fd", h, g)
+    return dx, dwi, dwo
+
+
+_relu_ffn.defvjp(_relu_ffn_fwd, _relu_ffn_bwd)
+
+
 def mlp(p: PyTree, cfg: T5Config, x: jax.Array) -> jax.Array:
     dt = cfg.dtype
     if cfg.gated_ffn:
@@ -997,6 +1030,8 @@ def mlp(p: PyTree, cfg: T5Config, x: jax.Array) -> jax.Array:
             jnp.einsum("bld,df->blf", x, p["wi_0"].astype(dt)), approximate=True
         ) * jnp.einsum("bld,df->blf", x, p["wi_1"].astype(dt))
     else:
+        if cfg.ffn_custom_vjp:
+            return _relu_ffn(x, p["wi"].astype(dt), p["wo"].astype(dt))
         h = jax.nn.relu(jnp.einsum("bld,df->blf", x, p["wi"].astype(dt)))
     return jnp.einsum("blf,fd->bld", h, p["wo"].astype(dt))
 

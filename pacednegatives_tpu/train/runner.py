@@ -56,6 +56,9 @@ class RunConfig:
     # "bf16" halves the chunked-attention VJP residual's HBM staging
     # (see models/t5.T5Config.attn_residual_dtype)
     attn_residual_dtype: str = "fp32"
+    # custom ReLU-FFN VJP saving only the post-ReLU hidden
+    # (see models/t5.T5Config.ffn_custom_vjp)
+    ffn_custom_vjp: bool = False
     dropout: bool = False
     # curriculum: interp | level | eta | lce | meta-cheap | meta-std
     curriculum: str = "lce"
@@ -160,6 +163,7 @@ def _build_model(cfg: RunConfig, tok):
         attention_chunk=cfg.attention_chunk,
         flash_kernel=cfg.flash_kernel,
         attn_residual_dtype=cfg.attn_residual_dtype,
+        ffn_custom_vjp=cfg.ffn_custom_vjp,
     )
     if cfg.model in ("tiny", "small", "base"):
         mk = {

@@ -32,5 +32,8 @@ run() { # name, timeout_s, env...
 }
 
 run attnres188 1200 $L188 BENCH_ATTN_RES=bf16
+run ffnvjp188 1200 $L188 BENCH_FFN_VJP=1
+run both188 1200 $L188 BENCH_ATTN_RES=bf16 BENCH_FFN_VJP=1
 run attnres512 1800 $L512 BENCH_ATTN_RES=bf16
+run ffnvjp512 1800 $L512 BENCH_FFN_VJP=1
 echo "queue2 done" >&2

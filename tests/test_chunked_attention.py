@@ -94,6 +94,33 @@ def test_bf16_attention_residual_grads_close(setup):
         np.testing.assert_allclose(b / denom, a / denom, atol=1.5e-2)
 
 
+def test_ffn_custom_vjp_matches_autodiff(setup):
+    """ffn_custom_vjp saves only the post-ReLU hidden; outputs must be
+    bit-identical (same forward ops) and gradients bit-close (identical
+    einsum order/dtypes — only the residual set differs)."""
+    cfg, params, ids, labels = setup
+    fcfg = dataclasses.replace(cfg, ffn_custom_vjp=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(forward_logits(params, fcfg, ids, labels)),
+        np.asarray(forward_logits(params, cfg, ids, labels)),
+    )
+
+    def loss(p, c):
+        logits = forward_logits(p, c, ids, labels)
+        onehot = jax.nn.one_hot(labels, c.vocab_size)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, cfg)))(params)
+    g_vjp = jax.jit(jax.grad(lambda p: loss(p, fcfg)))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_vjp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        )
+
+
 def test_chunked_with_scan_layers(setup):
     cfg, params, ids, labels = setup
     ccfg = dataclasses.replace(
