@@ -764,6 +764,10 @@ def main():
             skipped[ph] = f"budget: {remaining:.0f}s left < {est}s estimate"
             print(json.dumps({"phase": ph, "skipped": skipped[ph]}),
                   file=sys.stderr, flush=True)
+            # re-emit so the LAST stdout line records this skip too — the
+            # driver parses only the final line, and a budget-skipped
+            # trailing phase must be distinguishable from a disabled one
+            _emit(results, batch_size, n, model, skipped)
             continue
         env = dict(os.environ, BENCH_PHASE=ph)
         for k, v in extra_env.items():

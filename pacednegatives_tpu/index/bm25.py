@@ -59,15 +59,23 @@ def _load_lib():
         import shutil
         import tempfile
 
+        fresh = None
         try:
             fd, fresh = tempfile.mkstemp(suffix=".so", prefix="liblexical.")
             os.close(fd)
             shutil.copy2(_LIB_PATH, fresh)
             lib = ctypes.CDLL(fresh)
-            os.unlink(fresh)
             _bind(lib)
         except (OSError, AttributeError):
             return None
+        finally:
+            # unlink even when copy/CDLL/bind raises — the dlopen mapping
+            # (when it succeeded) persists without the directory entry
+            if fresh is not None:
+                try:
+                    os.unlink(fresh)
+                except OSError:
+                    pass
     return lib
 
 

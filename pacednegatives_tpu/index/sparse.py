@@ -47,21 +47,24 @@ class SparseIndex:
         keep = w > 0
         docs, t, w = docs[keep], t[keep], w[keep]
 
-        # Merge duplicate (doc, term) entries by summing their weights.
-        # lax.top_k output never produces duplicates, but build() is a public
-        # API over arbitrary (term_ids, weights) — and search()'s fancy-index
-        # += relies on per-term doc rows being unique.
+        # ONE (term, doc)-major sort serves both the CSR layout and the
+        # duplicate merge: lax.top_k output never produces duplicates, but
+        # build() is a public API over arbitrary (term_ids, weights) — and
+        # search()'s fancy-index += relies on per-term doc rows being
+        # unique. The previous np.unique + separate argsort paid the
+        # O(nnz log nnz) sort twice on every build (multi-second at MS
+        # MARCO scale) even when no duplicates exist.
         key = t.astype(np.int64) * N + docs
-        uniq, inv = np.unique(key, return_inverse=True)
-        if len(uniq) != len(key):
-            w_merged = np.zeros(len(uniq), np.float32)
-            np.add.at(w_merged, inv, w)
-            t = (uniq // N).astype(t.dtype)
-            docs = (uniq % N).astype(np.int32)
-            w = w_merged
-
-        order = np.argsort(t, kind="stable")  # term-major, stable by doc
+        order = np.argsort(key, kind="stable")
+        key = key[order]
         docs, t, w = docs[order], t[order], w[order]
+        if len(key) and np.any(key[1:] == key[:-1]):
+            # merge duplicate (doc, term) entries by summing their weights
+            starts = np.concatenate(
+                [[0], np.nonzero(key[1:] != key[:-1])[0] + 1]
+            )
+            w = np.add.reduceat(w, starts).astype(np.float32)
+            docs, t = docs[starts], t[starts]
         term_start = np.zeros(num_terms + 1, np.int64)
         np.add.at(term_start, t + 1, 1)
         np.cumsum(term_start, out=term_start)

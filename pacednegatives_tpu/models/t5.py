@@ -654,6 +654,13 @@ def _chunked_attention(cfg: T5Config, q, k, v, bias) -> jax.Array:
         if cfg.flash_kernel and pallas_flash_eligible(Lq, k.shape[2], dk)
         else "xla"
     )
+    if cfg.attn_residual_dtype not in ("fp32", "bf16"):
+        # a typo silently measuring the fp32 baseline would mislabel an
+        # A/B experiment — fail loudly at trace time
+        raise ValueError(
+            f"attn_residual_dtype must be 'fp32' or 'bf16', "
+            f"got {cfg.attn_residual_dtype!r}"
+        )
     out = _flash_core(
         C, impl, cfg.attn_residual_dtype, q, k, v, shared, per_batch
     )

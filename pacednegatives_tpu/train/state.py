@@ -153,6 +153,12 @@ def make_optimizer(
         # applied-update units or warmup/decay stretch by k
         total_steps = max(total_steps // grad_accum_steps, 1)
         warmup_steps = max(warmup_steps // grad_accum_steps, 1)
+    if moments not in ("fp32", "bf16_mu", "factored"):
+        # a typo silently running exact fp32 AdamW would mislabel an A/B
+        # measurement — fail loudly like the sibling knobs do
+        raise ValueError(
+            f"moments must be 'fp32', 'bf16_mu', or 'factored', got {moments!r}"
+        )
     schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
     if moments == "factored":
         tx = optax.chain(

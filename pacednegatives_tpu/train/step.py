@@ -112,7 +112,7 @@ def make_train_step(
     # copy-done time in the round-3 profile). Cost: one bf16 rounding per
     # add; the per-microbatch g/k scaling is exact when k is a power of
     # two. Opt-in because it perturbs the update numerically (bounded in
-    # tests/test_train_step.py::test_bf16_grad_accum_close).
+    # tests/test_microbatch.py::test_bf16_grad_accum_close).
     grad_accum_dtype: str = "fp32",
 ) -> Callable[[TrainState, Batch], tuple[TrainState, dict]]:
     """Build step(state, batch) -> (state, metrics).

@@ -49,8 +49,24 @@ SMOKE = {
 def pytest_collection_modifyitems(config, items):
     import pytest
 
+    matched = set()
     for item in items:
         name = item.name.split("[")[0]
         fname = item.fspath.basename if hasattr(item, "fspath") else ""
         if (fname, name) in SMOKE:
             item.add_marker(pytest.mark.smoke)
+            matched.add((fname, name))
+    # When the whole suite is collected, every SMOKE entry must resolve —
+    # otherwise a rename silently shrinks the advertised per-subsystem
+    # coverage with no signal (fail loudly instead).
+    collected_files = {
+        item.fspath.basename for item in items if hasattr(item, "fspath")
+    }
+    stale = {
+        pair for pair in SMOKE - matched if pair[0] in collected_files
+    }
+    if stale:
+        raise pytest.UsageError(
+            f"smoke subset entries no longer match any test: {sorted(stale)} "
+            "— update SMOKE in tests/conftest.py"
+        )
