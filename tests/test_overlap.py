@@ -209,6 +209,33 @@ def test_loop_swap_lands_at_configured_boundary():
     assert o[7] == pytest.approx(s[5], rel=1e-5)
 
 
+def test_refresher_state_machine():
+    """start/collect/discard protocol: double-start and bare collect raise;
+    discard drops the pending work and allows a fresh start whose collect
+    still matches the serial refresh."""
+    cfg, tok, dc, params, mining = _setup()
+    serial = make_refresh_fn(dc, cfg, mining)(params)
+    _, enc_dev = split_devices(jax.devices()[:8], 2)
+    ref = OverlappedRefresher(dc, cfg, mining, enc_dev)
+
+    with pytest.raises(RuntimeError):
+        ref.collect()  # nothing in flight
+    ref.start(params)
+    assert ref.in_flight
+    with pytest.raises(RuntimeError):
+        ref.start(params)  # already in flight
+    ref.discard()
+    assert not ref.in_flight
+    with pytest.raises(RuntimeError):
+        ref.collect()  # discarded
+    ref.start(params)
+    got = ref.collect()
+    assert not ref.in_flight
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(serial), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_split_devices_validates():
     with pytest.raises(ValueError):
         split_devices(jax.devices()[:4], 4)
