@@ -390,6 +390,14 @@ def attention(
     # runs in VMEM. Self-attention only (x is kv), lazy-bias callers only
     # (encoder/decoder stacks pass the (shared, per_batch) tuple), no
     # attention-weight dropout.
+    if cfg.flash_v3 and not deterministic:
+        # same stance as the chunked+dropout check below: a silent
+        # whole-run fallback to the XLA path would mislabel a flash_v3
+        # A/B arm as measuring the kernel
+        raise ValueError(
+            "flash_v3 does not support attention-weight dropout "
+            "(training with dropout=True); disable dropout or flash_v3."
+        )
     if (
         cfg.flash_v3
         and deterministic
@@ -403,6 +411,18 @@ def attention(
 
         if flash_v3_eligible(H, Lq, Lk, dk, d_in):
             shared, per_batch = bias
+            if "qkv" not in p:
+                import warnings
+
+                # loop-invariant but NOT hoisted by XLA out of the
+                # microbatch scan — the measured use-site-concat tax
+                # (6.80 vs 7.30 steps/s at L=188, see fused_qkv note)
+                warnings.warn(
+                    "flash_v3 without fused_qkv re-concatenates the QKV "
+                    "weight per layer per microbatch; set fused_qkv=True "
+                    "so train/step.py hoists it once per step",
+                    stacklevel=2,
+                )
             w3 = (
                 p["qkv"] if "qkv" in p
                 else jnp.concatenate([p["q"], p["k"], p["v"]], axis=-1)
@@ -476,6 +496,13 @@ def attention(
             "dropout (training with dropout=True); a silent dense fallback "
             "would materialize the (B, H, Lq, Lk) scores chunking exists to "
             "avoid. Use dense attention or disable dropout."
+        )
+    if cfg.attn_residual_dtype != "fp32" and cfg.attention_impl != "chunked":
+        # the residual knob lives in the chunked custom VJP; a dense run
+        # labeled as a bf16-residual A/B arm would measure the baseline
+        raise ValueError(
+            "attn_residual_dtype='bf16' requires attention_impl='chunked' "
+            "(dense attention has no flash-style residual to reduce)"
         )
     if cfg.attention_impl == "chunked":
         if (

@@ -164,7 +164,11 @@ def v3_forward(x, wqkv, wo, pos3, key_mask, *, interpret=False):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * D * 4 * inner + 4 * B * H * L * L * dk,
-            bytes_accessed=(x.size * 2 + wqkv.size + wo.size) * x.dtype.itemsize,
+            bytes_accessed=(
+                (x.size * 2 + wqkv.size + wo.size) * x.dtype.itemsize
+                + pos3.size * 4           # fp32 position bias (largest input)
+                + 2 * B * H * L * 4 * 2   # m/l outputs
+            ),
             transcendentals=B * H * L * L,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -293,8 +297,12 @@ def v3_backward(x, wqkv, pos3, key_mask, m, l, d_attn, *, interpret=False):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * D * 3 * inner + 12 * B * H * L * L * dk,
-            bytes_accessed=(x.size * 2 + wqkv.size + d_attn.size * 3)
-            * x.dtype.itemsize,
+            bytes_accessed=(
+                (x.size * 2 + wqkv.size + d_attn.size * 3)
+                * x.dtype.itemsize
+                + 2 * pos3.size * 4       # fp32 pos input + dpos output
+                + 2 * B * H * L * 4 * 2   # m/l inputs
+            ),
             transcendentals=B * H * L * L,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -329,8 +337,14 @@ def _v3_core_bwd(interpret, res, dy):
     x, wqkv, wo, pos3, key_mask, m, l = res
     dt = x.dtype
     # d_attn = dy @ wo^T; dWo from the RECOMPUTED attention outputs the
-    # backward kernel emits (bit-identical to the forward's — same inputs,
-    # deterministic) so the forward never writes them to HBM.
+    # backward kernel emits, so the forward never writes them to HBM.
+    # NOT bit-identical to the forward's: the forward casts the
+    # UNNORMALIZED probabilities to bf16 and divides the PV product by l
+    # afterwards, the backward normalizes first then casts — the
+    # recomputed o differs by up to ~1 bf16 ulp per element, i.e. dWo is
+    # exact for an o within rounding noise of the one that produced y
+    # (flash-standard recompute error class; bounded by the grad parity
+    # tests' tolerances).
     d_attn = jnp.einsum(
         "bld,id->bli", dy, wo, preferred_element_type=jnp.float32
     ).astype(dt)

@@ -53,6 +53,11 @@ class RunConfig:
     # fused Mosaic attention forward+backward for eligible shapes
     # (chunked impl, 128-aligned lengths; see models/t5.T5Config)
     flash_kernel: bool = False
+    # fused projection+attention+output-projection Mosaic kernel for
+    # encoder self-attention (see models/t5.T5Config.flash_v3); pair with
+    # fused_qkv so the QKV weight concat is hoisted once per step
+    flash_v3: bool = False
+    fused_qkv: bool = False
     # "bf16" halves the chunked-attention VJP residual's HBM staging
     # (see models/t5.T5Config.attn_residual_dtype)
     attn_residual_dtype: str = "fp32"
@@ -162,6 +167,8 @@ def _build_model(cfg: RunConfig, tok):
         attention_impl=cfg.attention_impl,
         attention_chunk=cfg.attention_chunk,
         flash_kernel=cfg.flash_kernel,
+        flash_v3=cfg.flash_v3,
+        fused_qkv=cfg.fused_qkv,
         attn_residual_dtype=cfg.attn_residual_dtype,
         ffn_custom_vjp=cfg.ffn_custom_vjp,
     )

@@ -147,6 +147,13 @@ def make_train_step(
             f"grad_accum_dtype must be 'fp32' or 'bf16', "
             f"got {grad_accum_dtype!r}"
         )
+    if grad_accum_dtype != "fp32" and microbatches <= 1:
+        # there is no accumulation carry without microbatching; silently
+        # ignoring the knob would mislabel an A/B experiment
+        raise ValueError(
+            "grad_accum_dtype='bf16' requires microbatches > 1 "
+            "(no accumulation carry exists at microbatches=1)"
+        )
     n = n_neg_per_example
     k = microbatches
     acc_dt = jnp.float32 if grad_accum_dtype == "fp32" else jnp.bfloat16
@@ -285,12 +292,8 @@ def make_train_step(
         if acc_dt != jnp.float32:
             # the optimizer/bias-fold math stays fp32; only the scan carry
             # was reduced-precision
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32), grads
-            )
-            gbias = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32), gbias
-            )
+            grads = f32(grads)
+            gbias = f32(gbias)
 
         if model_cfg.fused_qkv:
             grads = t5.split_attention_grads(grads)
