@@ -155,6 +155,22 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
     # block_until_ready alone has been observed returning before execution.
     steps = (max(steps, chunk) // chunk) * chunk
     warm_idx = mk_idx(chunk)
+    # A/B integrity (VERDICT r3 weak #6): when flash_v3 is requested, assert
+    # the Mosaic kernel actually appears in the lowered module — a silently
+    # ineligible shape falls back to the XLA path and would otherwise be
+    # recorded as a kernel measurement. lower() only traces (no compile).
+    bench_fused.flash_v3_pallas_calls = None
+    if cfg.flash_v3:
+        txt = chunk_jit.lower(state, warm_idx).as_text()
+        bench_fused.flash_v3_pallas_calls = (
+            txt.count("tpu_custom_call") + txt.count("pallas_call")
+        )
+        if bench_fused.flash_v3_pallas_calls == 0:
+            raise SystemExit(
+                "BENCH_FLASH_V3=1 but no pallas/tpu_custom_call in the "
+                "lowered module: the kernel did not engage (ineligible "
+                "shape or non-TPU backend); refusing to record a no-op A/B"
+            )
     state, m = chunk_jit(state, warm_idx)
     float(np.asarray(m["loss"])[-1])
 
@@ -582,11 +598,14 @@ def run_phase(phase: str):
         sps, last_loss = bench_fused(
             cfg, tok, dc, params, batch_size, n, steps, chunk=max(steps // 2, 1)
         )
-        print(json.dumps({
+        rec = {
             "phase": phase, "steps_per_sec": sps, "final_loss": last_loss,
             "flops_per_step": bench_fused.flops_per_step,
             "prompt_len": bench_fused.prompt_len,
-        }))
+        }
+        if bench_fused.flash_v3_pallas_calls is not None:
+            rec["flash_v3_pallas_calls"] = bench_fused.flash_v3_pallas_calls
+        print(json.dumps(rec))
     elif phase == "rerank":
         dps, L = bench_rerank(cfg, tok, store, params, max(steps // 2, 5))
         print(json.dumps({
@@ -600,18 +619,15 @@ def run_phase(phase: str):
         print(json.dumps({"phase": "ref", "steps_per_sec": sps}))
 
 
-def _emit(results, batch_size, n, model, skipped):
+def _emit(results, batch_size, n, model, skipped, error=None):
     """Build and print the best headline record available from the phases
-    that have finished so far. Called after EVERY phase: the last complete
-    JSON line on stdout is always the most complete record, so a run killed
-    by an external timeout still leaves a parseable (partial) record — the
-    failure mode that produced an empty BENCH_r02.json cannot recur."""
-    from pacednegatives_tpu.utils.profiling import device_peak_flops
-
-    peak = os.environ.get("BENCH_PEAK_TFLOPS")
-    peak = float(peak) * 1e12 if peak else device_peak_flops()
-
-    def perf(rec):
+    that have finished so far. Called BEFORE any phase (stub), after EVERY
+    phase, and on fatal failure (with ``error``): the last JSON line on
+    stdout is always parseable and always the most complete record, so a
+    run killed by an external timeout, a tunnel outage, or a fatal phase
+    still leaves a record — the failure modes that produced empty
+    BENCH_r02/BENCH_r03 records cannot recur."""
+    def perf(rec, peak):
         sps = rec["steps_per_sec"]
         out = {
             "steps_per_sec": round(sps, 3),
@@ -623,23 +639,52 @@ def _emit(results, batch_size, n, model, skipped):
             out["mfu"] = round(rec["flops_per_step"] * sps / peak, 3)
         return out
 
-    if "fused" not in results:
-        return
-    fused = perf(results["fused"])
-    value = fused["neg_per_sec"]
     record = {
         "metric": "negatives_scored_per_sec_per_chip",
-        "value": round(value, 2),
+        "value": 0.0,
         "unit": "neg/s/chip",
         "model": model,
         "batch_size": batch_size,
         "n_negatives": n,
+    }
+    if error is not None:
+        record["error"] = str(error)[-500:]
+
+    if "fused" not in results:
+        # Stub/partial record: no headline number yet, but still one
+        # parseable JSON line carrying whatever phases DID finish.
+        if "scale" in results:
+            record.update({k: v for k, v in results["scale"].items()
+                           if k.startswith("scale_")})
+        if "rerank" in results:
+            record["rerank_docs_per_sec"] = round(
+                results["rerank"]["docs_per_sec"], 1)
+        if skipped:
+            record["skipped_phases"] = sorted(skipped)
+        print(json.dumps(record), flush=True)
+        return record
+
+    # peak-FLOPs lookup needs jax device identification; guard it so a
+    # flaky tunnel can never turn an emit into a crash.
+    try:
+        from pacednegatives_tpu.utils.profiling import device_peak_flops
+
+        peak = os.environ.get("BENCH_PEAK_TFLOPS")
+        peak = float(peak) * 1e12 if peak else device_peak_flops()
+        device = str(jax.devices()[0])
+    except Exception as e:  # pragma: no cover - tunnel flake path
+        peak, device = None, f"unavailable: {e}"
+
+    fused = perf(results["fused"], peak)
+    value = fused["neg_per_sec"]
+    record.update({
+        "value": round(value, 2),
         "fused_steps_per_sec": fused["steps_per_sec"],
         "prompt_len": fused["prompt_len"],
         "model_tflops_per_sec": fused["model_tflops_per_sec"],
-        "device": str(jax.devices()[0]),
+        "device": device,
         "final_loss": round(results["fused"]["final_loss"], 4),
-    }
+    })
     if "ref" in results:
         ref_sps = results["ref"]["steps_per_sec"]
         baseline = ref_sps * batch_size * n
@@ -665,7 +710,7 @@ def _emit(results, batch_size, n, model, skipped):
         record["mfu"] = fused["mfu"]
         record["peak_tflops_assumed"] = round(peak / 1e12, 0)
     if "fused512" in results:
-        long = perf(results["fused512"])
+        long = perf(results["fused512"], peak)
         record.update({f"l512_{k}": v for k, v in long.items()})
     if "scale" in results:
         record.update(
@@ -680,6 +725,40 @@ def _emit(results, batch_size, n, model, skipped):
         record["skipped_phases"] = sorted(skipped)
     print(json.dumps(record), flush=True)
     return record
+
+
+# stderr/stdout markers of the documented transient tunnel failure modes
+# (memory: axon-tpu-timing-pitfalls) — a phase whose output matches these is
+# retried once instead of being treated as a hard algorithmic failure.
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "TPU_WORKER_HOSTNAMES",
+    "Internal Server Error",
+    "HTTP/1.1 500",
+    "status: 500",
+    "DEADLINE_EXCEEDED",
+    "timed out",
+)
+
+
+def _probe_device(timeout_s: float = 95.0):
+    """Check the accelerator actually answers (the axon tunnel can be fully
+    down for 15+ min; even ``jax.devices()`` hangs then). Runs in a
+    subprocess so a hang can't wedge the parent. Returns (ok, msg)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        if proc.returncode == 0:
+            return True, proc.stdout.strip()
+        return False, (proc.stderr or proc.stdout).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {timeout_s:.0f}s"
 
 
 def main():
@@ -758,6 +837,54 @@ def main():
 
     results = {}
     skipped = {}
+
+    # FIRST action: one parseable (stub) JSON line on stdout, so even a
+    # SIGKILL two seconds from now leaves a record the driver can parse.
+    _emit(results, batch_size, n, model, skipped,
+          error="startup: no phases completed yet")
+
+    # Device-availability gate: never launch a 400s-compile phase into a
+    # dead tunnel. Retries ride out the documented transient outages as
+    # long as the wall budget allows (each wait cycle ~155s).
+    if os.environ.get("BENCH_FORCE_CPU", "0") != "1":
+        ok, msg = _probe_device()
+        while not ok and deadline - time.monotonic() > 400:
+            print(f"[bench] device probe failed ({msg}); retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+            ok, msg = _probe_device()
+        if not ok:
+            _emit(results, batch_size, n, model, skipped,
+                  error=f"device unavailable: {msg}")
+            sys.exit(1)
+        print(f"[bench] device: {msg}", file=sys.stderr, flush=True)
+
+    def run_sub(ph, env, timeout_s):
+        """One phase subprocess. Returns (got_record, out, err)."""
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+            )
+            out_text, err_text = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            out_text = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+                else (e.stdout or "")
+            err_text = f"phase subprocess timed out after {e.timeout:.0f}s"
+        for line in out_text.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("phase") == ph:
+                results[ph] = rec
+        return ph in results, out_text, err_text
+
+    # The fused phase is the headline and used to inherit the ENTIRE
+    # remaining budget as its timeout — so one wedged run burned the whole
+    # record (BENCH_r03). Now it gets a sub-budget slice with one retry.
+    fused_timeout = float(os.environ.get("BENCH_FUSED_TIMEOUT", "700"))
+
     for ph, extra_env, required, est in phases:
         remaining = deadline - time.monotonic()
         if not required and remaining < est:
@@ -775,28 +902,36 @@ def main():
             # the caller's environment may override
             if k == "BENCH_DOC_TOKENS" or k not in os.environ:
                 env[k] = v
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=max(remaining, 120 if required else 60),
-            )
-            out_text, err_text = proc.stdout, proc.stderr
-        except subprocess.TimeoutExpired as e:
-            out_text = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-                else (e.stdout or "")
-            err_text = f"phase subprocess timed out after {e.timeout:.0f}s"
-        for line in out_text.splitlines():
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if rec.get("phase") == ph:
-                results[ph] = rec
-        if ph not in results:
+        if ph == "fused":
+            timeout_s = min(max(remaining, 120), fused_timeout)
+        else:
+            timeout_s = max(remaining, 120 if required else 60)
+        got, out_text, err_text = run_sub(ph, env, timeout_s)
+        if not got:
+            blob = out_text[-2000:] + err_text[-2000:]
+            transient = any(mk in blob for mk in _TRANSIENT_MARKERS)
+            remaining = deadline - time.monotonic()
+            # Retry once: always for the fatal fused phase, and for any
+            # phase whose failure looks like a documented transient —
+            # provided enough budget remains for the attempt to finish.
+            if (ph == "fused" or (required and transient)) and remaining > 180:
+                print(f"[bench] phase {ph} failed "
+                      f"({'transient' if transient else 'unknown'}); "
+                      f"retrying with {remaining:.0f}s left",
+                      file=sys.stderr, flush=True)
+                if ph == "fused":
+                    timeout_s = min(max(remaining - 60, 120), fused_timeout)
+                else:
+                    timeout_s = max(remaining - 60, 120)
+                got, out_text, err_text = run_sub(ph, env, timeout_s)
+        if not got:
             msg = f"phase {ph} failed:\n{out_text[-500:]}\n{err_text[-2000:]}"
             if ph == "fused":  # the only fatal phase (see phases table)
-                raise SystemExit(msg)
+                # print the record FIRST — the last stdout line must stay
+                # parseable JSON under every failure mode (r03 regression)
+                _emit(results, batch_size, n, model, skipped, error=msg)
+                print(msg, file=sys.stderr, flush=True)
+                sys.exit(1)
             skipped[ph] = msg[-300:]
             print(json.dumps({"phase": ph, "skipped": msg[-300:]}),
                   file=sys.stderr, flush=True)
