@@ -66,7 +66,14 @@ def _encode_all(
     out = np.full((n, max_len), tok.pad_id, np.int32)
     mask = np.zeros((n, max_len), np.int32)
     batched = getattr(tok, "encode_batch", None)
-    if (os.cpu_count() or 1) <= 1:
+    # gate on CPUs actually available to THIS process: os.cpu_count()
+    # reports physical cores and ignores cgroup/affinity pinning, so a
+    # 1-CPU container on a many-core host would take the slower path
+    try:
+        avail_cpus = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux fallback
+        avail_cpus = os.cpu_count() or 1
+    if avail_cpus <= 1:
         batched = None
     for lo in range(0, n, chunk):
         part = texts[lo : lo + chunk]

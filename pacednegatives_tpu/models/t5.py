@@ -118,6 +118,13 @@ class T5Config:
     # with fused_qkv=True so the weight concat is hoisted once per step.
     # See docs/flash_v3_design.md for the go/no-go measurement plan.
     flash_v3: bool = False
+    # Run the flash_v3 pallas_call in interpret mode and let its
+    # eligibility gate pass on non-TPU backends — tests drive the full
+    # wiring on CPU with this; production code never sets it. Explicit
+    # config plumb-through (no monkeypatched module globals): on a TPU a
+    # requested-but-ineligible shape warns loudly instead of silently
+    # falling back (see attention()).
+    flash_v3_interpret: bool = False
     # Dtype for the chunked-attention custom-VJP residual out_bhqd
     # (B, H, Lq, dk): it feeds ONLY D = sum(g * out) in the backward, so
     # "bf16" halves its fwd->bwd HBM staging (the r3 HLO copy attribution
@@ -409,8 +416,24 @@ def attention(
             fused_self_attention,
         )
 
-        if flash_v3_eligible(H, Lq, Lk, dk, d_in):
-            shared, per_batch = bias
+        # no multi-device sharding rule exists for the pallas_call yet:
+        # under a >1-device mesh GSPMD would either fail to partition it
+        # or silently force replication — fail loudly like the repo's
+        # other knob misconfigurations until a shard_map wrapper lands.
+        # (flash_v3_interpret runs lower as plain per-device compute in
+        # tests' single-device jits, so it is exempt.)
+        if jax.device_count() > 1 and not cfg.flash_v3_interpret:
+            raise ValueError(
+                "flash_v3 has no multi-device partitioning rule; disable "
+                "flash_v3 under a >1-device mesh (or wrap in shard_map)."
+            )
+        shared, per_batch = bias
+        # the kernel consumes one (H, Lq, Lk) position-bias table shared
+        # across the batch; a batch-varying shared bias would be silently
+        # collapsed to row 0 by the broadcast below, so gate on it.
+        shared_ok = shared is None or shared.shape[0] == 1
+        if flash_v3_eligible(H, Lq, Lk, dk, d_in,
+                             interpret=cfg.flash_v3_interpret) and shared_ok:
             if "qkv" not in p:
                 import warnings
 
@@ -438,7 +461,25 @@ def attention(
                 else jnp.zeros((B, Lk), jnp.float32)
             )
             return fused_self_attention(
-                x, w3, p["o"].astype(dt), pos3, key_mask
+                x, w3, p["o"].astype(dt), pos3, key_mask,
+                interpret=True if cfg.flash_v3_interpret else None,
+            )
+        if Lq == Lk and Lq >= 64:
+            import warnings
+
+            # a kernel-target shape (encoder-sized self-attention) was
+            # requested but is ineligible (backend, dk, VMEM, batch-varying
+            # shared bias): a silent whole-run fallback would let a
+            # flash_v3 A/B arm measure the XLA path (the silent-knob
+            # hazard of commit a197513). Deliberately NOT warned: decoder
+            # self-attention at label length (Lq < 64) — that fallback is
+            # the documented scope gate, not a misconfiguration.
+            warnings.warn(
+                f"flash_v3 requested but ineligible for self-attention "
+                f"shape H={H} Lq={Lq} Lk={Lk} dk={dk} d_model={d_in} "
+                f"(backend={jax.default_backend()}, "
+                f"shared_bias_batch_ok={shared_ok}); using the XLA path",
+                stacklevel=2,
             )
 
     # packed_lanes (see T5Config): project head PAIRS as (B, H/2, L, 2*dk)

@@ -54,24 +54,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
-# Tests set this (monkeypatch) to let flash_v3_eligible pass on CPU so the
-# attention() wiring can be driven end-to-end in interpret mode.
-_INTERPRET_OK = False
 
-
-def flash_v3_eligible(H: int, Lq: int, Lk: int, dk: int, d_model: int) -> bool:
+def flash_v3_eligible(H: int, Lq: int, Lk: int, dk: int, d_model: int,
+                      *, interpret: bool = False) -> bool:
     """Shape/VMEM gate for the fused block kernel. Conservative: the
     backward keeps pos + dpos (2 * H*L*L fp32) plus both weight operands
-    resident; cap the static residents at 64 MB of the ~128 MB VMEM."""
-    if not (_INTERPRET_OK or jax.default_backend() == "tpu"):
+    resident; cap the static residents at 64 MB of the ~128 MB VMEM.
+
+    ``interpret=True`` (T5Config.flash_v3_interpret plumb-through) lets the
+    gate pass on non-TPU backends so the wiring can be driven end-to-end in
+    Pallas interpret mode — an explicit argument, not a module global, so a
+    production CPU run can never be silently re-gated by test state."""
+    if not (interpret or jax.default_backend() == "tpu"):
         return False
     if Lq != Lk or dk not in (64, 128) or Lq < 64 or Lq > 512:
         return False
+    # Estimate with the shapes that actually launch: fused_self_attention
+    # pads L up to the bf16 sublane tile (16) before the pallas_call.
+    Lp = _round_up(Lq, 16)
     inner = H * dk
     resident = (
         4 * inner * d_model * 2       # wqkv + wo, bf16
-        + 2 * H * Lq * Lq * 4         # pos + dpos, fp32
-        + 4 * Lq * inner * 4          # qkv/dqkv scratch upper bound
+        + 2 * H * Lp * Lp * 4         # pos + dpos, fp32
+        + 4 * Lp * inner * 4          # qkv/dqkv scratch upper bound
+        + Lp * inner * 2              # fwd attn scratch / bwd recomputed attn
     )
     return resident <= 64 * 1024 * 1024
 

@@ -119,20 +119,15 @@ def test_bf16_smoke():
 
 
 def test_eligibility_gate():
-    # CPU backend: ineligible unless the interpret override is set
+    # CPU backend: ineligible unless the interpret override is passed
     assert not flash_v3_eligible(12, 192, 192, 64, 768)
-    import pacednegatives_tpu.ops.flash_v3 as mod
-    old = mod._INTERPRET_OK
-    mod._INTERPRET_OK = True
-    try:
-        assert flash_v3_eligible(12, 192, 192, 64, 768)
-        assert flash_v3_eligible(12, 512, 512, 64, 768)
-        assert not flash_v3_eligible(12, 192, 256, 64, 768)   # cross-shape
-        assert not flash_v3_eligible(12, 640, 640, 64, 768)   # too long
-        assert not flash_v3_eligible(12, 192, 192, 48, 768)   # odd dk
-        assert not flash_v3_eligible(12, 32, 32, 64, 768)     # too small
-    finally:
-        mod._INTERPRET_OK = old
+    ok = lambda *a: flash_v3_eligible(*a, interpret=True)
+    assert ok(12, 192, 192, 64, 768)
+    assert ok(12, 512, 512, 64, 768)
+    assert not ok(12, 192, 256, 64, 768)   # cross-shape
+    assert not ok(12, 640, 640, 64, 768)   # too long
+    assert not ok(12, 192, 192, 48, 768)   # odd dk
+    assert not ok(12, 32, 32, 64, 768)     # too small
 
 
 def test_attention_wiring():
@@ -149,6 +144,7 @@ def test_attention_wiring():
     cfg_on = t5.T5Config(
         d_model=128, d_kv=64, num_heads=4, dtype=jnp.float32,
         attention_impl="chunked", attention_chunk=96, flash_v3=True,
+        flash_v3_interpret=True,
     )
     keys = jax.random.split(jax.random.key(7), 6)
     B, L, D, H = 2, 96, 128, 4
@@ -168,27 +164,22 @@ def test_attention_wiring():
     def run(cfg, x, p):
         return t5.attention(p, cfg, x, x, bias)
 
-    old = mod._INTERPRET_OK
-    mod._INTERPRET_OK = True
-    try:
-        y_on = run(cfg_on, x, p)
-        y_off = run(cfg_off, x, p)
+    y_on = run(cfg_on, x, p)
+    y_off = run(cfg_off, x, p)
+    np.testing.assert_allclose(
+        np.asarray(y_on), np.asarray(y_off), rtol=2e-5, atol=2e-5
+    )
+    g_on = jax.grad(lambda x, p: jnp.sum(run(cfg_on, x, p) ** 2),
+                    argnums=(0, 1))(x, p)
+    g_off = jax.grad(lambda x, p: jnp.sum(run(cfg_off, x, p) ** 2),
+                     argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(g_on[0]), np.asarray(g_off[0]),
+                               rtol=3e-4, atol=3e-4)
+    for k in ("q", "k", "v", "o"):
         np.testing.assert_allclose(
-            np.asarray(y_on), np.asarray(y_off), rtol=2e-5, atol=2e-5
+            np.asarray(g_on[1][k]), np.asarray(g_off[1][k]),
+            rtol=3e-4, atol=3e-4, err_msg=k,
         )
-        g_on = jax.grad(lambda x, p: jnp.sum(run(cfg_on, x, p) ** 2),
-                        argnums=(0, 1))(x, p)
-        g_off = jax.grad(lambda x, p: jnp.sum(run(cfg_off, x, p) ** 2),
-                         argnums=(0, 1))(x, p)
-        np.testing.assert_allclose(np.asarray(g_on[0]), np.asarray(g_off[0]),
-                                   rtol=3e-4, atol=3e-4)
-        for k in ("q", "k", "v", "o"):
-            np.testing.assert_allclose(
-                np.asarray(g_on[1][k]), np.asarray(g_off[1][k]),
-                rtol=3e-4, atol=3e-4, err_msg=k,
-            )
-    finally:
-        mod._INTERPRET_OK = old
 
 
 def test_full_train_step_interpret():
@@ -199,7 +190,6 @@ def test_full_train_step_interpret():
     before TPU time is spent on the go/no-go measurement."""
     import dataclasses
 
-    import pacednegatives_tpu.ops.flash_v3 as mod
     from pacednegatives_tpu.curriculum import EtaController
     from pacednegatives_tpu.data import (
         DeviceCorpus, HashTokenizer, TextCorpus, TokenizedStore, TripletStore,
@@ -217,47 +207,54 @@ def test_full_train_step_interpret():
                                  max_d_tokens=48)
     triples = TripletStore.synthetic(corpus, n_pairs=8, n_neg=4, seed=1)
     dc = DeviceCorpus.build(store, triples)
-    cfg0 = T5Config.tiny(vocab_size=256)
+    # T5Config.tiny has d_kv=16 — BELOW the kernel's dk in (64, 128) gate,
+    # so the v3 arm would silently measure the XLA path (this exact hole
+    # shipped in round 3: the arm passed trivially). Use an eligible head
+    # dim and assert below that no ineligibility warning fired.
+    cfg0 = dataclasses.replace(T5Config.tiny(vocab_size=256), d_kv=64)
     params = init_params(jax.random.key(0), cfg0)
 
-    old = mod._INTERPRET_OK
-    mod._INTERPRET_OK = True
-    try:
-        outs = []
-        for v3 in (False, True):
-            cfg = dataclasses.replace(cfg0, flash_v3=v3, fused_qkv=True)
-            ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
-                                 total_steps=8)
-            tx = make_optimizer(lr=1e-2, total_steps=8)
-            step = make_train_step(cfg, ctrl, tx, loss="lce",
-                                   n_neg_per_example=2, rel_id=tok.true_id,
-                                   nrel_id=tok.false_id, microbatches=2)
-            fstep = make_fused_step(dc, step, ctrl, loss="lce",
-                                    n_neg_per_example=2)
-            state = init_train_state(params, tx, ctrl.init())
+    import warnings as _warnings
+
+    outs = []
+    for v3 in (False, True):
+        cfg = dataclasses.replace(cfg0, flash_v3=v3, fused_qkv=True,
+                                  flash_v3_interpret=v3)
+        ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
+                             total_steps=8)
+        tx = make_optimizer(lr=1e-2, total_steps=8)
+        step = make_train_step(cfg, ctrl, tx, loss="lce",
+                               n_neg_per_example=2, rel_id=tok.true_id,
+                               nrel_id=tok.false_id, microbatches=2)
+        fstep = make_fused_step(dc, step, ctrl, loss="lce",
+                                n_neg_per_example=2)
+        state = init_train_state(params, tx, ctrl.init())
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
             state, m = jax.jit(fstep)(state, jnp.arange(4, dtype=jnp.int32))
-            outs.append((state, float(m["loss"])))
-        (s0, l0), (s1, l1) = outs
-        assert np.isfinite(l1)
-        assert abs(l0 - l1) < 1e-3, (l0, l1)
-        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
-                        jax.tree_util.tree_leaves(s1.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-3, atol=2e-4)
-    finally:
-        mod._INTERPRET_OK = old
+        if v3:
+            bad = [w for w in caught
+                   if "flash_v3 requested but ineligible" in str(w.message)]
+            assert not bad, f"kernel did not engage: {bad[0].message}"
+        outs.append((state, float(m["loss"])))
+    (s0, l0), (s1, l1) = outs
+    assert np.isfinite(l1)
+    assert abs(l0 - l1) < 1e-3, (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
 
 
 def test_fused_qkv_param_wiring():
     """With pre-fused params (the production hoist), the v3 branch consumes
     p['qkv'] directly and grads split back losslessly."""
-    import pacednegatives_tpu.ops.flash_v3 as mod
     from pacednegatives_tpu.models import t5
 
     cfg_on = t5.T5Config(
         d_model=128, d_kv=64, num_heads=4, dtype=jnp.float32,
         attention_impl="chunked", attention_chunk=96,
-        flash_v3=True, fused_qkv=True,
+        flash_v3=True, fused_qkv=True, flash_v3_interpret=True,
     )
     keys = jax.random.split(jax.random.key(11), 6)
     B, L, D, H = 2, 96, 128, 4
@@ -275,17 +272,12 @@ def test_fused_qkv_param_wiring():
     shared = jax.random.normal(keys[5], (1, H, L, L), jnp.float32) * 0.3
     bias = (shared, None)
 
-    old = mod._INTERPRET_OK
-    mod._INTERPRET_OK = True
-    try:
-        y_fused = t5.attention(p_fused, cfg_on, x, x, bias)
-        cfg_off = t5.T5Config(
-            d_model=128, d_kv=64, num_heads=4, dtype=jnp.float32,
-            attention_impl="chunked", attention_chunk=96,
-        )
-        y_ref = t5.attention(p_sep, cfg_off, x, x, bias)
-        np.testing.assert_allclose(
-            np.asarray(y_fused), np.asarray(y_ref), rtol=2e-5, atol=2e-5
-        )
-    finally:
-        mod._INTERPRET_OK = old
+    y_fused = t5.attention(p_fused, cfg_on, x, x, bias)
+    cfg_off = t5.T5Config(
+        d_model=128, d_kv=64, num_heads=4, dtype=jnp.float32,
+        attention_impl="chunked", attention_chunk=96,
+    )
+    y_ref = t5.attention(p_sep, cfg_off, x, x, bias)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
