@@ -125,7 +125,22 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         microbatch_unroll=os.environ.get("BENCH_MICROBATCH_UNROLL", "0") == "1",
         grad_accum_dtype=os.environ.get("BENCH_GRAD_ACCUM", "fp32"),
     )
-    fused = make_fused_step(dc, step, ctrl, loss="lce", n_neg_per_example=n)
+    # BENCH_SCORED_POOL=C: model-in-the-loop negative selection — every step
+    # cross-encoder-scores C pool candidates per query (no-grad, bf16) and
+    # curriculum-samples the n trained negatives from the MODEL order
+    # (train/scored_pool.py; online analogue of reference util.py:9-18).
+    # Negatives scored/step becomes B*(C+n). See docs/north_star.md.
+    scored_pool = int(os.environ.get("BENCH_SCORED_POOL", "0"))
+    if scored_pool:
+        from pacednegatives_tpu.train import make_scored_pool_step
+
+        fused = make_scored_pool_step(
+            dc, step, ctrl, n_neg_per_example=n, candidates=scored_pool,
+            rel_id=tok.true_id, nrel_id=tok.false_id, model_cfg=cfg,
+        )
+    else:
+        fused = make_fused_step(dc, step, ctrl, loss="lce",
+                                n_neg_per_example=n)
     state = init_train_state(params, tx, ctrl.init())
 
     def chunk_fn(state, idx_chunk):
@@ -143,6 +158,13 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         dc.d_tokens.shape[1] + dc.suffix.shape[0]
     seqs = batch_size * (1 + n)
     bench_fused.flops_per_step = t5_step_flops(cfg, seqs, int(L), 2)
+    bench_fused.neg_scored_per_step = batch_size * n
+    if scored_pool:
+        # the scoring pass is forward-only: 1/3 of a train-step FLOP unit
+        bench_fused.flops_per_step += t5_step_flops(
+            cfg, batch_size * scored_pool, int(L), 1
+        ) / 3.0
+        bench_fused.neg_scored_per_step = batch_size * (scored_pool + n)
     bench_fused.prompt_len = int(L)
 
     rng = np.random.default_rng(0)
@@ -602,7 +624,11 @@ def run_phase(phase: str):
             "phase": phase, "steps_per_sec": sps, "final_loss": last_loss,
             "flops_per_step": bench_fused.flops_per_step,
             "prompt_len": bench_fused.prompt_len,
+            "neg_scored_per_step": bench_fused.neg_scored_per_step,
         }
+        sp = int(os.environ.get("BENCH_SCORED_POOL", "0"))
+        if sp:
+            rec["scored_pool_candidates"] = sp
         if bench_fused.flash_v3_pallas_calls is not None:
             rec["flash_v3_pallas_calls"] = bench_fused.flash_v3_pallas_calls
         print(json.dumps(rec))
@@ -685,6 +711,7 @@ def _emit(results, batch_size, n, model, skipped, error=None):
         "device": device,
         "final_loss": round(results["fused"]["final_loss"], 4),
     })
+    baseline = None
     if "ref" in results:
         ref_sps = results["ref"]["steps_per_sec"]
         baseline = ref_sps * batch_size * n
@@ -712,6 +739,38 @@ def _emit(results, batch_size, n, model, skipped, error=None):
     if "fused512" in results:
         long = perf(results["fused512"], peak)
         record.update({f"l512_{k}": v for k, v in long.items()})
+    if "fused_scored" in results:
+        rs = results["fused_scored"]
+        scored_rate = rs["steps_per_sec"] * rs.get(
+            "neg_scored_per_step", batch_size * n
+        )
+        record["scored_pool_candidates"] = rs.get("scored_pool_candidates")
+        record["scored_pool_steps_per_sec"] = round(rs["steps_per_sec"], 3)
+        record["scored_pool_neg_scored_per_sec"] = round(scored_rate, 1)
+
+    # North-star accounting (docs/north_star.md): the >=10x target, what the
+    # current chain actually supports, and the measured structural lever.
+    ns = {"target_multiple": 10.0, "doc": "docs/north_star.md"}
+    if "vs_reference_derived" in record:
+        ns["trained_neg_multiple"] = record["vs_reference_derived"]
+        if record.get("mfu"):
+            # matched precision/model/step-structure: even a perfect (100%
+            # MFU) implementation of the current step tops out here
+            ns["matched_structure_ceiling"] = round(
+                record["vs_reference_derived"] / record["mfu"], 2
+            )
+    if baseline and "fused_scored" in results:
+        rs = results["fused_scored"]
+        ns["scored_neg_multiple_vs_baseline"] = round(
+            record["scored_pool_neg_scored_per_sec"] / baseline, 2
+        )
+        meth = record.get("baseline_methodology")
+        if meth and "vs_reference_derived" in record and record["vs_baseline"]:
+            ns["scored_neg_multiple_derived"] = round(
+                ns["scored_neg_multiple_vs_baseline"]
+                * record["vs_reference_derived"] / record["vs_baseline"], 2
+            )
+    record["north_star"] = ns
     if "scale" in results:
         record.update(
             {k: v for k, v in results["scale"].items()
@@ -803,6 +862,9 @@ def main():
                 # optimizer traffic (7.16 -> 7.30 steps/s); the reference-
                 # style baseline keeps exact fp32 AdamW (parity).
                 "BENCH_OPT_MOMENTS": "factored",
+                # headline metric = TRAINED negatives/sec: pin the scored-
+                # pool knob off so a global env can't change its meaning
+                "BENCH_SCORED_POOL": "0",
             },
             True,
             420,
@@ -825,6 +887,7 @@ def main():
                         "BENCH_LONG_MICROBATCH", "8"
                     ),
                     "BENCH_OPT_MOMENTS": "factored",
+                    "BENCH_SCORED_POOL": "0",
                 },
                 False,
                 420,
@@ -832,6 +895,24 @@ def main():
         )
     if measure_scale:
         phases.append(("scale", {}, False, 300))
+    if os.environ.get("BENCH_SCORED", "1") == "1":
+        # model-in-the-loop negative selection at the flagship config
+        # (train/scored_pool.py; north-star lever — docs/north_star.md)
+        phases.append(
+            (
+                "fused_scored",
+                {
+                    "BENCH_SCORED_POOL": "64",
+                    "BENCH_REMAT": "0",
+                    "BENCH_ATTN": "chunked",
+                    "BENCH_ATTN_CHUNK": "192",
+                    "BENCH_MICROBATCH": "4",
+                    "BENCH_OPT_MOMENTS": "factored",
+                },
+                False,
+                420,
+            )
+        )
     if os.environ.get("BENCH_RERANK", "1") == "1":
         phases.append(("rerank", {}, False, 180))
 
@@ -900,7 +981,8 @@ def main():
         for k, v in extra_env.items():
             # phase-defining keys always apply; tuning knobs are defaults
             # the caller's environment may override
-            if k == "BENCH_DOC_TOKENS" or k not in os.environ:
+            if k in ("BENCH_DOC_TOKENS", "BENCH_SCORED_POOL") \
+                    or k not in os.environ:
                 env[k] = v
         if ph == "fused":
             timeout_s = min(max(remaining, 120), fused_timeout)

@@ -5,6 +5,7 @@ from pacednegatives_tpu.train.step import (
     make_meta_train_step,
 )
 from pacednegatives_tpu.train.loop import TrainLoop, MetricWriter
+from pacednegatives_tpu.train.scored_pool import make_scored_pool_step
 
 __all__ = [
     "TrainState",
@@ -13,6 +14,7 @@ __all__ = [
     "make_train_step",
     "make_fused_step",
     "make_meta_train_step",
+    "make_scored_pool_step",
     "TrainLoop",
     "MetricWriter",
 ]

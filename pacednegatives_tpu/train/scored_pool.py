@@ -1,0 +1,163 @@
+"""Model-in-the-loop negative selection: score a candidate pool with the
+cross-encoder (no-grad) every step, then curriculum-sample the training
+negatives from the MODEL-ordered candidates.
+
+Reference parity anchor: ``adhocRestructure`` (reference util.py:9-18)
+re-orders a query's negative pool by the model's own relevance scores — but
+offline, once, on the host, with a frozen model. Here the same operation
+runs ON-DEVICE INSIDE THE TRAIN STEP, so the difficulty axis tracks the
+*current* model instead of a static BM25 ordering (the staleness the static
+pools accumulate over a run is exactly what ANCE-style hard-negative mining
+exists to fix). The reference cannot afford this: its step already pays 4
+host-dispatched forwards (lceT5.py:131-157); scoring a 64-candidate pool
+per query would multiply its step cost ~10x. A fused single-dispatch step
+where the no-grad scoring pass rides the same compiled program makes it a
+bounded, measurable increment instead.
+
+Semantics per step (B pairs, C candidates, n trained negatives):
+
+1. subsample C slots from each pair's static pool, evenly spaced over the
+   retrieval-ordered pool (reference ``get_balanced_idx``, util.py:34-40) —
+   the static order is only used to pick a REPRESENTATIVE candidate subset,
+   not the training order;
+2. score the C candidates with the cross-encoder, no-grad, in the model's
+   compute dtype (bf16): ``P(true) - P(false)`` log-odds per candidate, the
+   exact quantity monoT5 ranks by at eval time (distill/wrapper.py:34-38);
+3. order candidates easiest -> hardest by that score (a LOW relevance score
+   means the model already separates the negative from the positive — easy;
+   a HIGH score means maximally confusable — hard);
+4. draw n distinct positions from the same paced binomial PMF the static
+   path uses (ops/sampling.py; reference dataloader.py:134-151), indexed
+   into the model order instead of the retrieval order;
+5. run the ordinary fused train step on the selected negatives.
+
+The no-grad pass costs B*C forward rows against the train pass's
+3x B*(1+n) forward-equivalents; at the flagship config (B=16, n=7, C=64)
+that is ~2.7x the per-step FLOPs for ~9x the negatives *scored* per step —
+the headline metric this framework is benched on (BASELINE.md north star).
+The counting is honest: every one of the B*C candidates gets a full
+cross-encoder relevance score each step, the same work the reference's
+train-time scoring performs per negative, and the score is CONSUMED (it
+decides what trains). docs/north_star.md carries the full accounting.
+
+``metrics["neg_scored"]`` reports B*C + B*n (candidates + the trained
+negatives' gradient-pass scores); ``neg_rank_static`` maps the selected
+negatives back to their static-pool position for drift observability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pacednegatives_tpu.models import t5
+from pacednegatives_tpu.models.monot5 import score_batch
+from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
+from pacednegatives_tpu.train.state import TrainState
+
+
+def balanced_slots(n_pool: int, c: int) -> np.ndarray:
+    """C evenly-spaced slots over [0, n_pool): the candidate subsample keeps
+    the static pool's difficulty span without biasing toward either end
+    (reference get_balanced_idx, util.py:34-40)."""
+    if not 0 < c <= n_pool:
+        raise ValueError(f"candidates must be in (0, {n_pool}], got {c}")
+    return np.unique(
+        np.round(np.linspace(0, n_pool - 1, c)).astype(np.int32)
+    )
+
+
+def make_scored_pool_step(
+    corpus,  # DeviceCorpus
+    step_fn,
+    controller,
+    model_cfg: t5.T5Config,
+    *,
+    n_neg_per_example: int,
+    candidates: int = 64,
+    rel_id: int,
+    nrel_id: int,
+):
+    """Build fused(state, pair_idx[, corpus]) -> (state, metrics) with
+    model-scored candidate pools (see module docstring).
+
+    Drop-in for train.step.make_fused_step(loss="lce"): same signature,
+    same scan-compatibility (difficulty/sampling/scoring/step all live in
+    one jittable program with zero host round trips).
+    """
+    n = n_neg_per_example
+    if candidates < n:
+        raise ValueError(
+            f"candidates ({candidates}) must be >= n_neg_per_example ({n})"
+        )
+    default_corpus = corpus
+    slots_np = balanced_slots(int(corpus.n_neg), candidates)
+    C = int(slots_np.shape[0])
+
+    def fused(state: TrainState, pair_idx: jax.Array, corpus=None):
+        corpus = default_corpus if corpus is None else corpus
+        B = pair_idx.shape[0]
+        difficulty = controller.difficulty(state.curriculum)
+        key = jax.random.fold_in(state.key, state.step)
+
+        q = corpus.query_rows[pair_idx]
+        pos_d = corpus.pos_rows[pair_idx]
+        cand_d = corpus.pools[pair_idx][:, jnp.asarray(slots_np)]  # (B, C)
+
+        # --- no-grad candidate scoring (the lever): one fused forward over
+        # (B*C, L) rows in the compute dtype. stop_gradient is structural
+        # (scores only pick integer indices) but keeps the intent explicit.
+        ids, mask = corpus.assemble(jnp.repeat(q, C), cand_d.reshape(-1))
+        scores = jax.lax.stop_gradient(
+            score_batch(state.params, model_cfg, ids, mask,
+                        rel_id=rel_id, nrel_id=nrel_id)
+        ).reshape(B, C)
+
+        # easiest (lowest relevance) -> hardest (highest), per pair
+        order = jnp.argsort(scores, axis=1)  # (B, C)
+
+        # paced binomial over MODEL-ordered positions (same PMF family as
+        # the static path, so the curriculum controllers are unchanged)
+        sel = sample_pool_indices_batch(
+            key, C, jnp.broadcast_to(difficulty, (B,)), n
+        )  # (B, n) positions into the model order
+        picked = jnp.take_along_axis(order, sel, axis=1)  # (B, n) cand cols
+        neg_d = jnp.take_along_axis(cand_d, picked, axis=1)  # (B, n) doc rows
+
+        pos_ids, pos_mask = corpus.assemble(q, pos_d)
+        neg_ids, neg_mask = corpus.assemble(
+            jnp.repeat(q, n), neg_d.reshape(-1)
+        )
+        static_pos = jnp.asarray(slots_np, jnp.float32)[picked.reshape(-1)]
+        batch = {
+            "pos_ids": pos_ids,
+            "pos_mask": pos_mask,
+            "pos_labels": corpus.labels(B, True),
+            "neg_ids": neg_ids,
+            "neg_mask": neg_mask,
+            "neg_labels": corpus.labels(B * n, False),
+            # model-order position of the drawn negatives (0 = easiest for
+            # the CURRENT model) — the pacing observability signal
+            "neg_rank": (sel.astype(jnp.float32) / max(C - 1, 1)).reshape(-1),
+        }
+        new_state, metrics = step_fn(state, batch)
+        metrics = {
+            **metrics,
+            # candidates scored this step + the trained negatives' scores
+            # produced by the gradient pass itself (B*n)
+            "neg_scored": jnp.float32(B * C + B * n),
+            # where the model-selected negatives sit in the STATIC retrieval
+            # order, normalized — divergence from neg_rank measures how far
+            # the current model's difficulty judgment has drifted from BM25
+            "neg_rank_static": jnp.mean(
+                static_pos / max(corpus.n_neg - 1, 1)
+            ),
+            "pool_score_spread": jnp.mean(
+                scores.max(axis=1) - scores.min(axis=1)
+            ),
+        }
+        return new_state, metrics
+
+    return fused

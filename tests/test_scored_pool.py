@@ -1,0 +1,161 @@
+"""Model-in-the-loop negative selection (train/scored_pool.py).
+
+The online analogue of reference util.py:9-18 adhocRestructure: every step
+scores a candidate subsample of the static pool with the cross-encoder
+(no-grad) and curriculum-samples the training negatives from the MODEL
+order. Tests pin (a) the selection semantics — at difficulty ~1 the step
+trains on the candidates the model scores HARDEST, at ~0 the easiest —
+(b) that the scores driving selection equal a direct score_batch call,
+(c) that the fused step trains (finite loss, params move) and is
+scan/jit-compatible, and (d) the metric contract (neg_scored count).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pacednegatives_tpu.curriculum import EtaController
+from pacednegatives_tpu.curriculum.interp import InterpController
+from pacednegatives_tpu.data import (
+    DeviceCorpus,
+    HashTokenizer,
+    TextCorpus,
+    TokenizedStore,
+    TripletStore,
+)
+from pacednegatives_tpu.models import T5Config, init_params
+from pacednegatives_tpu.models.monot5 import score_batch
+from pacednegatives_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_scored_pool_step,
+    make_train_step,
+)
+from pacednegatives_tpu.train.scored_pool import balanced_slots
+
+
+def _setup(n_neg=12, n_pairs=6):
+    cfg = T5Config.tiny(vocab_size=256)
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=64, num_queries=8, seed=0)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=n_pairs, n_neg=n_neg,
+                                     seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    params = init_params(jax.random.key(0), cfg)
+    return cfg, tok, dc, params
+
+
+def _build(cfg, tok, dc, difficulty, candidates=8, n=2, steps=8):
+    # fixed-schedule controller pinned at `difficulty` so the sampling mean
+    # is deterministic
+    ctrl = InterpController(start=difficulty, end=difficulty, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=steps)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=n,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    fused = make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=n, candidates=candidates,
+        rel_id=tok.true_id, nrel_id=tok.false_id,
+    )
+    return ctrl, tx, fused
+
+
+def test_balanced_slots():
+    s = balanced_slots(100, 10)
+    assert s[0] == 0 and s[-1] == 99 and len(s) == 10
+    assert (np.diff(s) > 0).all()
+    np.testing.assert_array_equal(balanced_slots(8, 8), np.arange(8))
+    with pytest.raises(ValueError):
+        balanced_slots(8, 9)
+
+
+@pytest.mark.parametrize("difficulty,expect_hard", [(0.999, True),
+                                                    (0.001, False)])
+def test_selection_follows_model_order(difficulty, expect_hard):
+    """At difficulty ~1 the trained negatives must be (nearly) the model's
+    hardest-scored candidates; at ~0 the easiest. Verified by re-scoring
+    the full candidate set directly and comparing score ranks."""
+    cfg, tok, dc = _setup()[:3]
+    params = init_params(jax.random.key(0), cfg)
+    ctrl, tx, fused = _build(cfg, tok, dc, difficulty, candidates=8, n=2)
+    state = init_train_state(params, tx, ctrl.init())
+
+    pair_idx = jnp.arange(4, dtype=jnp.int32)
+    # reproduce the step's internal selection: same fold_in key
+    slots = balanced_slots(int(dc.n_neg), 8)
+    cand_d = np.asarray(dc.pools)[np.asarray(pair_idx)][:, slots]  # (4, 8)
+    q = np.asarray(dc.query_rows)[np.asarray(pair_idx)]
+    ids, mask = dc.assemble(jnp.asarray(np.repeat(q, len(slots))),
+                            jnp.asarray(cand_d.reshape(-1)))
+    scores = np.asarray(
+        score_batch(params, cfg, ids, mask, rel_id=tok.true_id,
+                    nrel_id=tok.false_id)
+    ).reshape(4, len(slots))
+
+    _, metrics = jax.jit(fused)(state, pair_idx)
+    # the metric contract
+    assert float(metrics["neg_scored"]) == 4 * len(slots) + 4 * 2
+    assert 0.0 <= float(metrics["neg_rank_static"]) <= 1.0
+
+    # re-derive the step's internal selection (same fold_in key) and pin the
+    # step's reported model-order ranks to it — ties the wiring, not just
+    # the math
+    order = np.argsort(scores, axis=1)
+    # binomial at mean ~1 (~0) concentrates at the last (first) positions
+    from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
+
+    key = jax.random.fold_in(state.key, state.step)
+    sel = np.asarray(sample_pool_indices_batch(
+        key, len(slots), jnp.full((4,), difficulty), 2
+    ))
+    # step metrics carry the MEAN model-order rank (train/step.py averages
+    # batch["neg_rank"]) — pin it to the re-derived selection exactly
+    np.testing.assert_allclose(
+        float(metrics["neg_rank"]),
+        float(np.mean(sel.astype(np.float32) / (len(slots) - 1))),
+        rtol=1e-6,
+    )
+    picked_scores = np.take_along_axis(
+        scores, np.take_along_axis(order, sel, axis=1), axis=1
+    )
+    if expect_hard:
+        # every picked candidate scores in the top half of its pool
+        med = np.median(scores, axis=1, keepdims=True)
+        assert (picked_scores >= med).all()
+    else:
+        med = np.median(scores, axis=1, keepdims=True)
+        assert (picked_scores <= med).all()
+
+
+def test_step_trains_and_is_scannable():
+    cfg, tok, dc, params = _setup()
+    ctrl, tx, fused = _build(cfg, tok, dc, 0.5, candidates=6, n=2)
+    state = init_train_state(params, tx, ctrl.init())
+    idx = jnp.arange(8, dtype=jnp.int32).reshape(2, 4) % dc.num_pairs
+    chunk = jax.jit(lambda s, i: jax.lax.scan(fused, s, i))
+    new_state, m = chunk(state, idx)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    assert float(m["pool_score_spread"][-1]) >= 0.0
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(new_state.params))
+    )
+    assert moved
+
+
+def test_candidate_count_validation():
+    cfg, tok, dc, params = _setup()
+    ctrl = EtaController(eta0=1.0, meta_lr=0.01, warmup_steps=1,
+                         total_steps=4)
+    tx = make_optimizer(lr=1e-3, total_steps=4)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=4,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    with pytest.raises(ValueError):
+        make_scored_pool_step(dc, step, ctrl, cfg, n_neg_per_example=4,
+                              candidates=2, rel_id=tok.true_id,
+                              nrel_id=tok.false_id)
