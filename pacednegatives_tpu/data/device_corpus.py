@@ -80,13 +80,25 @@ class DeviceCorpus:
         # int16 token storage halves corpus HBM when the vocab fits
         # (t5's 32128 does); gathers cast back to int32 in registers.
         tok_dtype = np.int32
-        if compact_tokens and max(store.q_tokens.max(initial=0),
-                                  store.d_tokens.max(initial=0)) < 2**15:
-            tok_dtype = np.int16
-        if not store_masks:
+        if compact_tokens:
+            if (store.q_tokens.dtype == np.int16
+                    and store.d_tokens.dtype == np.int16):
+                tok_dtype = np.int16  # already compact: skip the full scan
+            elif max(store.q_tokens.max(initial=0),
+                     store.d_tokens.max(initial=0)) < 2**15:
+                tok_dtype = np.int16
+        if store_masks and (store.q_mask is None or store.d_mask is None):
+            raise ValueError(
+                "store_masks=True but the TokenizedStore carries no mask "
+                "matrices (streaming builder); its masks are pad-derived "
+                "by construction — build with store_masks=False"
+            )
+        if not store_masks and store.q_mask is not None:
             # token-derived masks require pad positions to hold pad_id;
             # a ValueError (not assert) so the check survives python -O —
-            # silently wrong attention masks are the worst failure mode here
+            # silently wrong attention masks are the worst failure mode
+            # here. (Mask-less stores skip the scan: the streaming writer
+            # pads with pad_id by construction.)
             if not (store.q_tokens[store.q_mask == 0] == store.pad_id).all() \
                     or not (
                         store.d_tokens[store.d_mask == 0] == store.pad_id
@@ -98,9 +110,11 @@ class DeviceCorpus:
                     "positions — build with store_masks=True instead"
                 )
         return cls(
-            q_tokens=put(store.q_tokens.astype(tok_dtype)),
+            # copy=False: a memmap-backed or already-compact token matrix
+            # must not be duplicated in host RAM on its way to the device
+            q_tokens=put(store.q_tokens.astype(tok_dtype, copy=False)),
             q_mask=put(store.q_mask.astype(np.int8)) if store_masks else None,
-            d_tokens=put(store.d_tokens.astype(tok_dtype)),
+            d_tokens=put(store.d_tokens.astype(tok_dtype, copy=False)),
             d_mask=put(store.d_mask.astype(np.int8)) if store_masks else None,
             query_rows=put(triples.query_rows),
             pos_rows=put(triples.pos_rows),

@@ -87,12 +87,17 @@ def _encode_all(
 
 @dataclasses.dataclass
 class TokenizedStore:
-    """All queries/docs tokenized once into padded matrices."""
+    """All queries/docs tokenized once into padded matrices.
 
-    q_tokens: np.ndarray  # (Nq, Lq) int32
-    q_mask: np.ndarray  # (Nq, Lq) int32
-    d_tokens: np.ndarray  # (Nd, Ld) int32
-    d_mask: np.ndarray  # (Nd, Ld) int32
+    Masks may be ``None`` (the streaming builder, data/streaming.py, never
+    materializes them): every padded position then holds ``pad_id`` by
+    construction and masks are derived as ``tokens != pad_id`` on use —
+    the same convention DeviceCorpus applies on device."""
+
+    q_tokens: np.ndarray  # (Nq, Lq) int32 (or int16, streaming builder)
+    q_mask: np.ndarray | None  # (Nq, Lq) int32, or None (pad-derived)
+    d_tokens: np.ndarray  # (Nd, Ld) int32 (or int16)
+    d_mask: np.ndarray | None
     template: PromptTemplate
     pad_id: int
     true_id: int
@@ -140,24 +145,22 @@ class TokenizedStore:
         t = self.template
         ones = lambda seg: np.ones((B, len(seg)), np.int32)
         tile = lambda seg: np.tile(np.array(seg, np.int32), (B, 1))
+        q_tok = self.q_tokens[q_rows].astype(np.int32, copy=False)
+        d_tok = self.d_tokens[d_rows].astype(np.int32, copy=False)
         ids = np.concatenate(
-            [
-                tile(t.prefix),
-                self.q_tokens[q_rows],
-                tile(t.mid),
-                self.d_tokens[d_rows],
-                tile(t.suffix),
-            ],
+            [tile(t.prefix), q_tok, tile(t.mid), d_tok, tile(t.suffix)],
             axis=1,
         )
+        q_m = (
+            self.q_mask[q_rows] if self.q_mask is not None
+            else (q_tok != self.pad_id).astype(np.int32)
+        )
+        d_m = (
+            self.d_mask[d_rows] if self.d_mask is not None
+            else (d_tok != self.pad_id).astype(np.int32)
+        )
         mask = np.concatenate(
-            [
-                ones(t.prefix),
-                self.q_mask[q_rows],
-                ones(t.mid),
-                self.d_mask[d_rows],
-                ones(t.suffix),
-            ],
+            [ones(t.prefix), q_m, ones(t.mid), d_m, ones(t.suffix)],
             axis=1,
         )
         return ids, mask

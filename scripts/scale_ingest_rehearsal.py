@@ -17,7 +17,9 @@ Usage:
     SCALE_DOCS=1000000 python scripts/scale_ingest_rehearsal.py
 Knobs: SCALE_DOCS (default 1M), SCALE_QUERIES (default 10k),
 SCALE_DEVICE=1 to device_put the corpus (needs a chip with enough HBM),
-SCALE_KEEP=1 to keep the generated TSVs.
+SCALE_KEEP=1 to keep the generated TSVs, SCALE_STREAMING=0 to exercise the
+legacy in-RAM path (default is the bounded-RSS streaming builder,
+data/streaming.py — round-4 answer to the ~24 GB extrapolation at 8.8M).
 """
 
 import json
@@ -76,27 +78,52 @@ def main():
         TextCorpus,
         TokenizedStore,
         TripletStore,
+        build_streaming_store,
     )
+    from pacednegatives_tpu.data.streaming import iter_tsv_texts
     from pacednegatives_tpu.data.tokenizer import TrainedTokenizer
 
     write_tsvs(docs_path, queries_path, n_docs, n_queries)
+    streaming = os.environ.get("SCALE_STREAMING", "1") == "1"
 
-    t0 = time.monotonic()
-    corpus = TextCorpus.from_tsv(docs_path, queries_path)
-    emit("from_tsv", t0, docs=corpus.num_docs)
+    if streaming:
+        # Streaming path (data/streaming.py): O(chunk) host RAM — the TSV is
+        # never materialized as Python lists and the token matrices live on
+        # disk (int16 memmap, pad-derived masks).
+        t0 = time.monotonic()
+        sample = [
+            t for i, t in enumerate(iter_tsv_texts(docs_path))
+            if i % max(1, n_docs // 100000) == 0
+        ]
+        tok = TrainedTokenizer.train(sample, vocab_size=32128)
+        emit("train_tokenizer", t0, sample_docs=len(sample))
 
-    # Train the tokenizer on a corpus SAMPLE (the production recipe —
-    # training on all 8.8M docs is pointless for a unigram vocab).
-    t0 = time.monotonic()
-    sample = corpus.doc_texts[:: max(1, n_docs // 100000)]
-    tok = TrainedTokenizer.train(sample, vocab_size=32128)
-    emit("train_tokenizer", t0, sample_docs=len(sample))
+        t0 = time.monotonic()
+        store = build_streaming_store(
+            docs_path, queries_path, tok, max_q_tokens=32, max_d_tokens=180,
+            workdir=outdir,
+        )
+        dt = time.monotonic() - t0
+        emit("tokenized_store_streaming", t0, docs_per_sec=int(n_docs / dt),
+             d_tokens_gb=round(store.d_tokens.nbytes / 1e9, 2))
+    else:
+        t0 = time.monotonic()
+        corpus = TextCorpus.from_tsv(docs_path, queries_path)
+        emit("from_tsv", t0, docs=corpus.num_docs)
 
-    t0 = time.monotonic()
-    store = TokenizedStore.build(corpus, tok, max_q_tokens=32, max_d_tokens=180)
-    dt = time.monotonic() - t0
-    emit("tokenized_store", t0, docs_per_sec=int(n_docs / dt),
-         d_tokens_gb=round(store.d_tokens.nbytes / 1e9, 2))
+        # Train the tokenizer on a corpus SAMPLE (the production recipe —
+        # training on all 8.8M docs is pointless for a unigram vocab).
+        t0 = time.monotonic()
+        sample = corpus.doc_texts[:: max(1, n_docs // 100000)]
+        tok = TrainedTokenizer.train(sample, vocab_size=32128)
+        emit("train_tokenizer", t0, sample_docs=len(sample))
+
+        t0 = time.monotonic()
+        store = TokenizedStore.build(corpus, tok, max_q_tokens=32,
+                                     max_d_tokens=180)
+        dt = time.monotonic() - t0
+        emit("tokenized_store", t0, docs_per_sec=int(n_docs / dt),
+             d_tokens_gb=round(store.d_tokens.nbytes / 1e9, 2))
 
     t0 = time.monotonic()
     rng = np.random.default_rng(1)
