@@ -137,6 +137,8 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
         fused = make_scored_pool_step(
             dc, step, ctrl, n_neg_per_example=n, candidates=scored_pool,
             rel_id=tok.true_id, nrel_id=tok.false_id, model_cfg=cfg,
+            # "int8": W8A8 dynamic scoring on the MXU's 2x int8 path
+            score_dtype=os.environ.get("BENCH_SCORE_DTYPE", "compute"),
         )
     else:
         fused = make_fused_step(dc, step, ctrl, loss="lce",
@@ -425,11 +427,27 @@ def bench_rerank(cfg, tok, store, params, steps):
         ids, _ = store.assemble_host(q, d)
         return jnp.asarray(ids)
 
-    score = jax.jit(
-        lambda p, ids: score_batch(
-            p, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
+    # BENCH_RERANK_INT8=1: serve with the W8A8 dynamic-quant forward
+    # (models/quant.py; 2x MXU peak; rank fidelity in tests/test_quant.py)
+    if os.environ.get("BENCH_RERANK_INT8", "0") == "1":
+        from pacednegatives_tpu.models.quant import (
+            quantize_scoring_params,
+            score_batch_int8,
         )
-    )
+
+        qparams = quantize_scoring_params(params, cfg)
+        score = jax.jit(
+            lambda q, ids: score_batch_int8(
+                q, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
+            )
+        )
+        params = qparams  # quantized once: serving-style frozen model
+    else:
+        score = jax.jit(
+            lambda p, ids: score_batch(
+                p, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
+            )
+        )
     s = score(params, batch(0))
     float(np.asarray(s)[-1])  # compile + fetch-sync
     # fresh inputs each call (dedup note in bench_fused)

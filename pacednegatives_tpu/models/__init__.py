@@ -11,8 +11,14 @@ from pacednegatives_tpu.models.monot5 import (
     score_batch,
     relevance_log_probs,
 )
+from pacednegatives_tpu.models.quant import (
+    quantize_scoring_params,
+    score_batch_int8,
+)
 
 __all__ = [
+    "quantize_scoring_params",
+    "score_batch_int8",
     "T5Config",
     "init_params",
     "encode",

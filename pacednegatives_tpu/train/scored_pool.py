@@ -79,6 +79,13 @@ def make_scored_pool_step(
     candidates: int = 64,
     rel_id: int,
     nrel_id: int,
+    # "compute": score in the model's compute dtype (bf16 on TPU).
+    # "int8": dynamic W8A8 scoring (models/quant.py) — quantizes the live
+    # params inside the step (pure jnp, ~1 ms of HBM traffic at t5-base)
+    # and runs the candidate forward on the MXU's 2x int8 path; rank
+    # fidelity pinned in tests/test_quant.py. The lever that clears the
+    # >=10x north star (docs/north_star.md §2).
+    score_dtype: str = "compute",
 ):
     """Build fused(state, pair_idx[, corpus]) -> (state, metrics) with
     model-scored candidate pools (see module docstring).
@@ -91,6 +98,10 @@ def make_scored_pool_step(
     if candidates < n:
         raise ValueError(
             f"candidates ({candidates}) must be >= n_neg_per_example ({n})"
+        )
+    if score_dtype not in ("compute", "int8"):
+        raise ValueError(
+            f"score_dtype must be 'compute' or 'int8', got {score_dtype!r}"
         )
     default_corpus = corpus
     slots_np = balanced_slots(int(corpus.n_neg), candidates)
@@ -107,13 +118,22 @@ def make_scored_pool_step(
         cand_d = corpus.pools[pair_idx][:, jnp.asarray(slots_np)]  # (B, C)
 
         # --- no-grad candidate scoring (the lever): one fused forward over
-        # (B*C, L) rows in the compute dtype. stop_gradient is structural
-        # (scores only pick integer indices) but keeps the intent explicit.
+        # (B*C, L) rows. stop_gradient is structural (scores only pick
+        # integer indices) but keeps the intent explicit.
         ids, mask = corpus.assemble(jnp.repeat(q, C), cand_d.reshape(-1))
-        scores = jax.lax.stop_gradient(
-            score_batch(state.params, model_cfg, ids, mask,
-                        rel_id=rel_id, nrel_id=nrel_id)
-        ).reshape(B, C)
+        if score_dtype == "int8":
+            from pacednegatives_tpu.models.quant import (
+                quantize_scoring_params,
+                score_batch_int8,
+            )
+
+            qp = quantize_scoring_params(state.params, model_cfg)
+            raw = score_batch_int8(qp, model_cfg, ids, mask,
+                                   rel_id=rel_id, nrel_id=nrel_id)
+        else:
+            raw = score_batch(state.params, model_cfg, ids, mask,
+                              rel_id=rel_id, nrel_id=nrel_id)
+        scores = jax.lax.stop_gradient(raw).reshape(B, C)
 
         # easiest (lowest relevance) -> hardest (highest), per pair
         order = jnp.argsort(scores, axis=1)  # (B, C)
