@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-4 TPU experiment queue: waits for the axon tunnel, then runs every
+# pending A/B in PRIORITY order (most valuable first, so a tunnel that dies
+# mid-queue still leaves the important numbers):
+#   1. base188 reconfirm (warm cache)
+#   2. the four round-3 structural levers at L=188
+#      (flash_v3, bf16 grad-accum carry, bf16 attn residual, FFN VJP)
+#   3. lever combos
+#   4. north-star arms: scored-pool C=64 (bf16 + int8 scoring), rerank
+#      serving throughput (bf16 + int8)
+#   5. L=512 variants
+# One JSON line per experiment on stdout; failures record stderr tails.
+# flash_v3 runs self-assert kernel engagement (bench.py refuses to record
+# a no-op A/B when no pallas call is in the lowered module).
+set -u
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+echo "waiting for TPU tunnel..." >&2
+until probe; do sleep 60; done
+echo "tunnel up at $(date -u +%H:%M:%S)" >&2
+
+L188="BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=192 BENCH_MICROBATCH=4 BENCH_OPT_MOMENTS=factored BENCH_STEPS=20"
+L512="BENCH_DOC_TOKENS=484 BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=512 BENCH_MICROBATCH=8 BENCH_OPT_MOMENTS=factored BENCH_STEPS=16"
+
+run() { # name, timeout_s, phase, env...
+  local name="$1" t="$2" phase="$3"; shift 3
+  echo "[queue] $name starting at $(date -u +%H:%M:%S)" >&2
+  local out
+  out=$(env "$@" BENCH_PHASE="$phase" timeout "$t" python bench.py 2>/tmp/q_err.txt)
+  if [ -n "$out" ]; then
+    echo "{\"exp\": \"$name\", $(echo "$out" | tail -1 | sed 's/^{//')"
+  else
+    echo "{\"exp\": \"$name\", \"failed\": \"$(tail -c 200 /tmp/q_err.txt | tr '\"\n' ' ')\"}"
+  fi
+}
+
+# --- 1. baseline reconfirm (cache warm from round 3)
+run base188 1200 fused $L188
+# --- 2. the four levers at L=188
+run v3_188 2400 fused $L188 BENCH_FLASH_V3=1 BENCH_FUSED_QKV=1
+run bf16acc188 1200 fused $L188 BENCH_GRAD_ACCUM=bf16
+run attnres188 1200 fused $L188 BENCH_ATTN_RES=bf16
+run ffnvjp188 1200 fused $L188 BENCH_FFN_VJP=1
+# --- 3. combos
+run v3_bf16_188 1800 fused $L188 BENCH_FLASH_V3=1 BENCH_FUSED_QKV=1 BENCH_GRAD_ACCUM=bf16
+run res_ffn_188 1200 fused $L188 BENCH_ATTN_RES=bf16 BENCH_FFN_VJP=1
+# --- 4. north-star arms (docs/north_star.md)
+run scored64_188 1800 fused $L188 BENCH_SCORED_POOL=64
+run scored64i8_188 2400 fused $L188 BENCH_SCORED_POOL=64 BENCH_SCORE_DTYPE=int8
+run rerank_bf16 900 rerank $L188 BENCH_STEPS=40
+run rerank_int8 1500 rerank $L188 BENCH_STEPS=40 BENCH_RERANK_INT8=1
+# --- 5. L=512 (long compiles: generous timeouts)
+run base512 1800 fused $L512
+run v3_512 3000 fused $L512 BENCH_FLASH_V3=1 BENCH_FUSED_QKV=1
+run bf16acc512 1800 fused $L512 BENCH_GRAD_ACCUM=bf16
+run attnres512 1800 fused $L512 BENCH_ATTN_RES=bf16
+run ffnvjp512 1800 fused $L512 BENCH_FFN_VJP=1
+echo "queue done at $(date -u +%H:%M:%S)" >&2
