@@ -106,6 +106,16 @@ class RunConfig:
     rate_check: int = 1000
     # mining: "static" (precomputed pools) | "online" (dense index, north star)
     mining: str = "static"
+    # >0: model-in-the-loop negative selection (train/scored_pool.py) —
+    # every step cross-encoder-scores this many pool candidates per query
+    # (no-grad) and curriculum-samples the n trained negatives from the
+    # MODEL-judged order instead of the static retrieval order (the
+    # reference's offline adhocRestructure, util.py:9-18, made online).
+    # Requires curriculum family lce + static pools.
+    scored_pool: int = 0
+    # "compute" (bf16) | "int8" (W8A8 dynamic, models/quant.py — 2x MXU
+    # peak for the scoring pass; rank fidelity tested)
+    scored_pool_dtype: str = "compute"
     pool_size: int = 64
     refresh_every: int = 200
     encode_batch: int = 128
@@ -425,6 +435,19 @@ def run(cfg: RunConfig) -> dict:
     )
     from pacednegatives_tpu.train.loop import save_checkpoint
 
+    if cfg.scored_pool > 0 and cfg.mining == "online":
+        # silent-knob discipline: the online loop mines its own fresh pools;
+        # ignoring scored_pool there would mislabel the run
+        raise ValueError(
+            "scored_pool only applies to static pools (mining='static'); "
+            "online mining already builds fresh per-step pools"
+        )
+    if cfg.scored_pool_dtype not in ("compute", "int8"):
+        raise ValueError(
+            f"scored_pool_dtype must be 'compute' or 'int8', "
+            f"got {cfg.scored_pool_dtype!r}"
+        )
+
     os.makedirs(cfg.out_dir, exist_ok=True)
     with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2)
@@ -551,9 +574,23 @@ def run(cfg: RunConfig) -> dict:
             )
             state = loop.run(state, steps, writer)
         else:
-            fused = make_fused_step(
-                dc, step, controller, loss=loss_kind, n_neg_per_example=n
-            )
+            if cfg.scored_pool > 0:
+                from pacednegatives_tpu.train import make_scored_pool_step
+
+                if loss_kind != "lce":
+                    raise ValueError(
+                        "scored_pool requires an lce-family curriculum "
+                        f"(n sampled negatives); got {cfg.curriculum!r}"
+                    )
+                fused = make_scored_pool_step(
+                    dc, step, controller, mcfg, n_neg_per_example=n,
+                    candidates=cfg.scored_pool, rel_id=tok.true_id,
+                    nrel_id=tok.false_id, score_dtype=cfg.scored_pool_dtype,
+                )
+            else:
+                fused = make_fused_step(
+                    dc, step, controller, loss=loss_kind, n_neg_per_example=n
+                )
             loop = TrainLoop(
                 fused_step=fused,
                 corpus=dc,

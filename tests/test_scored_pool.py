@@ -148,6 +148,31 @@ def test_step_trains_and_is_scannable():
     assert moved
 
 
+def test_runner_scored_pool_end_to_end(tmp_path):
+    """--scored_pool N through the full runner/CLI surface: trains, logs
+    the neg_scored/neg_rank_static metrics, and validates bad combos."""
+    from pacednegatives_tpu.train.runner import RunConfig, run
+
+    base = dict(
+        curriculum="lce", model="tiny", total_steps=8, batch_size=4, n=2,
+        chunk_size=1, synthetic_pairs=16, synthetic_pool=12,
+        scored_pool=6, out_dir=str(tmp_path / "run"),
+    )
+    summary = run(RunConfig(**base))
+    assert np.isfinite(summary["final_loss"])
+    rows = [
+        __import__("json").loads(line)
+        for line in open(tmp_path / "run" / "metrics.jsonl")
+    ]
+    assert any("neg_scored" in r for r in rows)
+    with pytest.raises(ValueError):
+        run(RunConfig(**{**base, "mining": "online"}))
+    with pytest.raises(ValueError):
+        run(RunConfig(**{**base, "scored_pool_dtype": "fp8"}))
+    with pytest.raises(ValueError):
+        run(RunConfig(**{**base, "curriculum": "interp"}))
+
+
 def test_candidate_count_validation():
     cfg, tok, dc, params = _setup()
     ctrl = EtaController(eta0=1.0, meta_lr=0.01, warmup_steps=1,
