@@ -148,6 +148,35 @@ def test_step_trains_and_is_scannable():
     assert moved
 
 
+def test_scored_pool_dp8_matches_single_device():
+    """The scored-pool step under a dp=8 GSPMD mesh is bit-identical to
+    single-device (scoring pass + selection + train all partition cleanly;
+    run 2026-08-18 measured diff exactly 0.0)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pacednegatives_tpu.parallel import (
+        MeshConfig,
+        create_mesh,
+        param_shardings,
+    )
+
+    cfg, tok, dc, params = _setup(n_neg=12, n_pairs=16)
+    ctrl, tx, fused = _build(cfg, tok, dc, 0.5, candidates=8, n=2)
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    state = init_train_state(params, tx, ctrl.init())
+    sharded = state._replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    idx = jnp.arange(8, dtype=jnp.int32) % dc.num_pairs
+    with mesh:
+        _, m8 = jax.jit(fused)(
+            sharded, jax.device_put(idx, NamedSharding(mesh, P("data")))
+        )
+    _, m1 = jax.jit(fused)(state, idx)
+    assert float(m8["loss"]) == float(m1["loss"])
+    assert float(m8["neg_rank"]) == float(m1["neg_rank"])
+
+
 def test_runner_scored_pool_end_to_end(tmp_path):
     """--scored_pool N through the full runner/CLI surface: trains, logs
     the neg_scored/neg_rank_static metrics, and validates bad combos."""
