@@ -174,7 +174,10 @@ def test_scored_pool_dp8_matches_single_device():
         )
     _, m1 = jax.jit(fused)(state, idx)
     assert float(m8["loss"]) == float(m1["loss"])
-    assert float(m8["neg_rank"]) == float(m1["neg_rank"])
+    # the rank MEAN may differ by one fp32 ulp (sharded reduction order);
+    # the selection itself is identical (the loss above is bit-exact)
+    assert float(m8["neg_rank"]) == pytest.approx(float(m1["neg_rank"]),
+                                                  rel=1e-6)
 
 
 def test_runner_scored_pool_end_to_end(tmp_path):
