@@ -58,6 +58,16 @@ from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
 from pacednegatives_tpu.train.state import TrainState
 
 
+def _row_constrain(v: jax.Array) -> jax.Array:
+    """Shard leading (row) axis over the combined ("data", "seq") mesh axes
+    (no-op outside a mesh with those axes — make_fused_step convention)."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        v, P(("data", "seq"), *([None] * (v.ndim - 1)))
+    )
+
+
 def balanced_slots(n_pool: int, c: int) -> np.ndarray:
     """C evenly-spaced slots over [0, n_pool): the candidate subsample keeps
     the static pool's difficulty span without biasing toward either end
@@ -86,6 +96,12 @@ def make_scored_pool_step(
     # fidelity pinned in tests/test_quant.py. The lever that clears the
     # >=10x north star (docs/north_star.md §2).
     score_dtype: str = "compute",
+    # shard the (B*C, L) candidate-scoring rows and the assembled train
+    # batch over the combined ("data", "seq") mesh axes — the scoring pass
+    # is C/(n+1) times the train forward's rows, so at scale it is the
+    # part that most wants the negative-parallel axis (same convention as
+    # train.step.make_fused_step)
+    negative_parallel: bool = False,
 ):
     """Build fused(state, pair_idx[, corpus]) -> (state, metrics) with
     model-scored candidate pools (see module docstring).
@@ -121,6 +137,8 @@ def make_scored_pool_step(
         # (B*C, L) rows. stop_gradient is structural (scores only pick
         # integer indices) but keeps the intent explicit.
         ids, mask = corpus.assemble(jnp.repeat(q, C), cand_d.reshape(-1))
+        if negative_parallel:
+            ids, mask = _row_constrain(ids), _row_constrain(mask)
         if score_dtype == "int8":
             from pacednegatives_tpu.models.quant import (
                 quantize_scoring_params,
@@ -150,6 +168,9 @@ def make_scored_pool_step(
         neg_ids, neg_mask = corpus.assemble(
             jnp.repeat(q, n), neg_d.reshape(-1)
         )
+        if negative_parallel:
+            pos_ids, pos_mask = _row_constrain(pos_ids), _row_constrain(pos_mask)
+            neg_ids, neg_mask = _row_constrain(neg_ids), _row_constrain(neg_mask)
         static_pos = jnp.asarray(slots_np, jnp.float32)[picked.reshape(-1)]
         batch = {
             "pos_ids": pos_ids,

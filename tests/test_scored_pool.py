@@ -180,6 +180,44 @@ def test_scored_pool_dp8_matches_single_device():
                                                   rel=1e-6)
 
 
+def test_scored_pool_negative_parallel_dp_seq_mesh():
+    """negative_parallel=True shards the (B*C) scoring rows and the train
+    batch over ("data", "seq"): on a dp2 x seq2 x tp2 mesh the result
+    matches single-device within sharded-reduction tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pacednegatives_tpu.parallel import (
+        MeshConfig,
+        create_mesh,
+        param_shardings,
+    )
+
+    cfg, tok, dc, params = _setup(n_neg=12, n_pairs=16)
+    ctrl = InterpController(start=0.5, end=0.5, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    mk = lambda npar: make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+        rel_id=tok.true_id, nrel_id=tok.false_id, negative_parallel=npar,
+    )
+    mesh = create_mesh(MeshConfig(data=2, seq=2, model=2))
+    state = init_train_state(params, tx, ctrl.init())
+    sharded = state._replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    idx = jnp.arange(8, dtype=jnp.int32) % dc.num_pairs
+    with mesh:
+        _, m_np = jax.jit(mk(True))(
+            sharded,
+            jax.device_put(idx, NamedSharding(mesh, P(("data", "seq")))),
+        )
+    _, m1 = jax.jit(mk(False))(state, idx)
+    assert float(m_np["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+    assert float(m_np["neg_rank"]) == pytest.approx(float(m1["neg_rank"]),
+                                                    rel=1e-6)
+
+
 def test_runner_scored_pool_end_to_end(tmp_path):
     """--scored_pool N through the full runner/CLI surface: trains, logs
     the neg_scored/neg_rank_static metrics, and validates bad combos."""
