@@ -410,53 +410,93 @@ def bench_rerank(cfg, tok, store, params, steps):
     """Serving-side throughput: monoT5 relevance scoring (the reference's
     eval-time workload — eval.py:26 BM25 >> monoT5 rerank). One encoder
     pass + one decode step per doc; inference-only, so batch is free to be
-    large. Reports docs scored/sec/chip at the training prompt length."""
+    large. Reports docs scored/sec/chip.
+
+    Arms:
+      default                — dense scoring at the full training prompt
+                               length (fixed shapes, one compile)
+      BENCH_RERANK_INT8=1    — W8A8 dynamic-quant forward (models/quant.py)
+      BENCH_RERANK_PACKED=1  — VARIABLE-length corpus (clipped-lognormal
+                               doc lengths, MS-MARCO-passage-like) served
+                               through the Reranker's packed + length-
+                               bucketed path: FLOPs scale with each batch's
+                               true length, not the corpus max. Composes
+                               with INT8. BENCH_RERANK_BUCKET sets the
+                               bucket granularity (default 32 tokens).
+    Returns (docs_per_sec, prompt_len, extra_record_fields)."""
     import time
 
-    from pacednegatives_tpu.models.monot5 import score_batch
+    from pacednegatives_tpu.data import TextCorpus, TokenizedStore
+    from pacednegatives_tpu.eval.rerank import Reranker
 
     B = int(os.environ.get("BENCH_RERANK_BATCH", "256"))
+    int8 = os.environ.get("BENCH_RERANK_INT8", "0") == "1"
+    packed = os.environ.get("BENCH_RERANK_PACKED", "0") == "1"
     L = store.prompt_len
+    extra = {"int8": int8, "packed": packed}
+
+    corpus = None
+    if packed:
+        # Realistic serving corpus: doc lengths ~ clipped lognormal with
+        # median ≈ 55 words (MS MARCO passages) against the same max-token
+        # budget the dense arm pays in full for every doc.
+        max_d = store.d_tokens.shape[1]
+        rng_l = np.random.default_rng(7)
+        d_lens = np.clip(
+            rng_l.lognormal(mean=4.0, sigma=0.45, size=2048).astype(int),
+            12, max_d - 2,
+        )
+        vocab = [f"w{i}" for i in range(500)]
+        doc_texts = [
+            " ".join(rng_l.choice(vocab, size=n)) for n in d_lens
+        ]
+        q_lens = rng_l.integers(4, 12, size=256)
+        query_texts = [
+            " ".join(rng_l.choice(vocab, size=n)) for n in q_lens
+        ]
+        corpus = TextCorpus(
+            [f"d{i}" for i in range(len(doc_texts))], doc_texts,
+            [f"q{i}" for i in range(len(query_texts))], query_texts,
+        )
+        store = TokenizedStore.build(
+            corpus, tok, max_q_tokens=store.q_tokens.shape[1],
+            max_d_tokens=max_d,
+        )
+        L = store.prompt_len
+        bstep = int(os.environ.get("BENCH_RERANK_BUCKET", "32"))
+        bucket_lens = tuple(range(bstep, L, bstep))
+    else:
+        bucket_lens = None
+
+    rr = Reranker(
+        params, cfg, store, corpus,
+        rel_id=tok.true_id, nrel_id=tok.false_id, batch_size=B,
+        packed=packed, bucket_lens=bucket_lens, int8=int8,
+    )
+
     rng = np.random.default_rng(0)
     n_q = store.q_tokens.shape[0]
     n_d = store.d_tokens.shape[0]
-
-    def batch(i):
-        q = rng.integers(0, n_q, size=B)
-        d = rng.integers(0, n_d, size=B)
-        ids, _ = store.assemble_host(q, d)
-        return jnp.asarray(ids)
-
-    # BENCH_RERANK_INT8=1: serve with the W8A8 dynamic-quant forward
-    # (models/quant.py; 2x MXU peak; rank fidelity in tests/test_quant.py)
-    if os.environ.get("BENCH_RERANK_INT8", "0") == "1":
-        from pacednegatives_tpu.models.quant import (
-            quantize_scoring_params,
-            score_batch_int8,
+    M = steps * B
+    q_rows = rng.integers(0, n_q, size=M)
+    d_rows = rng.integers(0, n_d, size=M)
+    # warm on a DISJOINT same-distribution pair set: warming on the timed
+    # pairs would let the tunnel dedup identical (program, inputs) blocks
+    # and inflate the measurement (axon dedup pitfall, bench_fused note)
+    wrng = np.random.default_rng(1)
+    compiled = rr.warm(
+        wrng.integers(0, n_q, size=M), wrng.integers(0, n_d, size=M)
+    )  # one compile per bucket, fetch-synced
+    if packed:
+        extra["buckets_compiled"] = compiled
+        extra["mean_true_len"] = round(
+            float(store.pair_lengths(q_rows, d_rows).mean()), 1
         )
-
-        qparams = quantize_scoring_params(params, cfg)
-        score = jax.jit(
-            lambda q, ids: score_batch_int8(
-                q, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
-            )
-        )
-        params = qparams  # quantized once: serving-style frozen model
-    else:
-        score = jax.jit(
-            lambda p, ids: score_batch(
-                p, cfg, ids, rel_id=tok.true_id, nrel_id=tok.false_id
-            )
-        )
-    s = score(params, batch(0))
-    float(np.asarray(s)[-1])  # compile + fetch-sync
-    # fresh inputs each call (dedup note in bench_fused)
-    batches = [batch(i) for i in range(steps)]
     t0 = time.perf_counter()
-    out = [score(params, b) for b in batches]
-    float(np.asarray(out[-1])[-1])
+    out = rr.score_pairs(q_rows, d_rows)  # np.asarray per block = fetch-sync
     dt = time.perf_counter() - t0
-    return steps * B / dt, L
+    assert np.isfinite(out).all()
+    return M / dt, L, extra
 
 
 def bench_scale():
@@ -651,9 +691,12 @@ def run_phase(phase: str):
             rec["flash_v3_pallas_calls"] = bench_fused.flash_v3_pallas_calls
         print(json.dumps(rec))
     elif phase == "rerank":
-        dps, L = bench_rerank(cfg, tok, store, params, max(steps // 2, 5))
+        dps, L, extra = bench_rerank(
+            cfg, tok, store, params, max(steps // 2, 5)
+        )
         print(json.dumps({
             "phase": "rerank", "docs_per_sec": dps, "prompt_len": L,
+            **extra,
         }))
     else:
         sps = bench_reference_style(

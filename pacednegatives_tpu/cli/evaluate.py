@@ -79,9 +79,20 @@ def main(argv=None) -> list[dict]:
         store = TokenizedStore.build(
             corpus, tok, max_q_tokens=_rc.max_q_tokens, max_d_tokens=_rc.max_d_tokens
         )
+        # serve with the layout the model was TRAINED with (packed vs
+        # segment positions differ — data/device_corpus.py); packed runs
+        # also get length buckets: identical scores (tests/test_packed.py
+        # invariance), fewer padded-out FLOPs on real-length corpora
+        packed = getattr(_rc, "packed_assembly", False)
+        L = store.prompt_len
         rr = Reranker(
             params, mcfg, store, corpus,
             rel_id=tok.true_id, nrel_id=tok.false_id,
+            packed=packed,
+            bucket_lens=tuple(range(32, L, 32)) if packed else None,
+            # --int8: serve with the W8A8 dynamic-quant forward (2x MXU
+            # peak; rank fidelity pinned in tests/test_quant.py)
+            int8=args.get("int8", "false").lower() in ("1", "true", "yes"),
         )
         return rr.rerank(first, depth=depth)
 

@@ -68,12 +68,21 @@ class DeviceCorpus:
     # ceil instead of floor for difficulty -> pool index (reference
     # TripletDataset max flag, dataloader.py:22)
     use_max: bool = False
+    # packed=True compacts each assembled prompt's real tokens to the front
+    # (pads only at the tail) — the positional geometry of the reference,
+    # which tokenizes whole prompt strings (lceT5.py:40-53) so query/doc/
+    # suffix tokens are contiguous. The segment layout (default) is the
+    # static-shape-native choice and self-consistent for from-scratch
+    # training; packed is REQUIRED when fine-tuning/serving an imported
+    # pretrained checkpoint (contiguous positions are its distribution).
+    # Train and serve must use the same setting.
+    packed: bool = False
 
     @classmethod
     def build(
         cls, store: TokenizedStore, triples: TripletStore, device=None,
         use_max: bool = False, compact_tokens: bool = True,
-        store_masks: bool = False,
+        store_masks: bool = False, packed: bool = False,
     ) -> "DeviceCorpus":
         put = partial(jax.device_put, device=device)
         t = store.template
@@ -127,6 +136,7 @@ class DeviceCorpus:
             false_id=store.false_id,
             eos_id=store.eos_id,
             use_max=use_max,
+            packed=packed,
         )
 
     # -- jittable assembly ---------------------------------------------------
@@ -169,6 +179,15 @@ class DeviceCorpus:
             ],
             axis=1,
         )
+        if self.packed:
+            # compact real tokens to the front (stable: order preserved);
+            # pads are normalized to pad_id so token-derived masks keep
+            # working downstream. Cost is one (B, L) sort per assembly —
+            # noise next to the model forward it feeds.
+            order = jnp.argsort(mask == 0, axis=1, stable=True)
+            ids = jnp.take_along_axis(ids, order, axis=1)
+            mask = jnp.take_along_axis(mask, order, axis=1)
+            ids = jnp.where(mask == 1, ids, self.pad_id)
         return ids, mask
 
     def labels(self, B: int, positive: bool) -> jax.Array:
@@ -255,5 +274,6 @@ jax.tree_util.register_dataclass(
         "q_tokens", "q_mask", "d_tokens", "d_mask",
         "query_rows", "pos_rows", "pools", "prefix", "mid", "suffix",
     ],
-    meta_fields=["pad_id", "true_id", "false_id", "eos_id", "use_max"],
+    meta_fields=["pad_id", "true_id", "false_id", "eos_id", "use_max",
+                 "packed"],
 )

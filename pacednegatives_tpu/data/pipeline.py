@@ -85,6 +85,32 @@ def _encode_all(
     return out, mask
 
 
+def pack_rows(
+    ids: np.ndarray,
+    mask: np.ndarray,
+    pad_id: int,
+    out_len: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compact each row's real tokens (mask == 1) to the front, preserving
+    order; pads move to the tail (and are normalized to ``pad_id`` so the
+    pad-derived-mask convention holds downstream). Optionally truncates to
+    ``out_len`` columns — refused if that would cut a real token, because
+    losing the 'Relevant:' suffix silently destroys the monoT5 prompt."""
+    order = np.argsort(mask == 0, axis=1, kind="stable")
+    ids_p = np.take_along_axis(ids, order, axis=1)
+    mask_p = np.take_along_axis(mask, order, axis=1)
+    if out_len is not None and out_len < ids.shape[1]:
+        max_len = int(mask.sum(axis=1).max(initial=0))
+        if max_len > out_len:
+            raise ValueError(
+                f"pack_rows: out_len={out_len} would truncate a row with "
+                f"{max_len} real tokens (suffix loss)"
+            )
+        ids_p = ids_p[:, :out_len]
+        mask_p = mask_p[:, :out_len]
+    return np.where(mask_p == 1, ids_p, pad_id), mask_p
+
+
 @dataclasses.dataclass
 class TokenizedStore:
     """All queries/docs tokenized once into padded matrices.
@@ -164,6 +190,53 @@ class TokenizedStore:
             axis=1,
         )
         return ids, mask
+
+    def assemble_host_packed(
+        self,
+        q_rows: np.ndarray,
+        d_rows: np.ndarray,
+        out_len: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Like assemble_host, but with real tokens COMPACTED to the front
+        of each row (pads only at the tail), optionally truncated to
+        ``out_len`` columns.
+
+        This reproduces the reference's positional geometry exactly: it
+        tokenizes the whole prompt string at once (lceT5.py:40-53), so
+        query/doc/suffix tokens are contiguous with no interior pad gaps.
+        The segment layout (assemble_host) is the static-shape training
+        default; packed assembly is for (a) serving length-bucketed batches
+        at less-than-max prompt length and (b) models whose training saw
+        contiguous positions — imported pretrained checkpoints above all.
+        A model must be served with the same layout it was trained with.
+        """
+        ids, mask = self.assemble_host(q_rows, d_rows)
+        return pack_rows(ids, mask, self.pad_id, out_len=out_len)
+
+    def pair_lengths(
+        self, q_rows: np.ndarray, d_rows: np.ndarray
+    ) -> np.ndarray:
+        """(B,) TRUE (unpadded) prompt length per (query, doc) pair — the
+        bucketing key for packed serving."""
+        if not hasattr(self, "_row_lens"):
+            q_m = (
+                self.q_mask if self.q_mask is not None
+                else self.q_tokens != self.pad_id
+            )
+            d_m = (
+                self.d_mask if self.d_mask is not None
+                else self.d_tokens != self.pad_id
+            )
+            t = self.template
+            const = len(t.prefix) + len(t.mid) + len(t.suffix)
+            # cached once: (Nq,), (Nd,) int32 true lengths
+            self._row_lens = (
+                q_m.sum(axis=1, dtype=np.int32),
+                d_m.sum(axis=1, dtype=np.int32),
+                np.int32(const),
+            )
+        q_len, d_len, const = self._row_lens
+        return q_len[q_rows] + d_len[d_rows] + const
 
     def labels(self, B: int, positive: bool) -> np.ndarray:
         """(B, 2) labels [verbalizer, eos] — parity with the reference's

@@ -79,6 +79,13 @@ class RunConfig:
     var: float = 0.01  # accepted for parity; a normalization no-op (see ops/sampling.py)
     use_mean: bool = False
     use_max: bool = False
+    # packed prompt assembly: compact real tokens to the front of every
+    # prompt (pads only at the tail) — the reference's contiguous positional
+    # geometry (lceT5.py:40-53). REQUIRED when fine-tuning an imported
+    # pretrained checkpoint; the segment layout (default) is static-shape-
+    # native and self-consistent for from-scratch runs. Train and serve
+    # must match (data/device_corpus.py).
+    packed_assembly: bool = False
     # "per_example" | "flat_tokens" — the latter reproduces the reference's
     # verbatim nce.view(-1, n) token regrouping (lceT5.py:119), which mixes
     # tokens across negatives for 2-token labels (ops/losses.lce_ce_flat_tokens)
@@ -235,7 +242,7 @@ def _build_data(cfg: RunConfig, tok):
             n_neg=cfg.n_neg_pool, order=cfg.pool_order,
         )
     return corpus, store, triples, DeviceCorpus.build(
-        store, triples, use_max=cfg.use_max
+        store, triples, use_max=cfg.use_max, packed=cfg.packed_assembly
     )
 
 

@@ -123,6 +123,12 @@ def main(argv=None) -> dict:
             "--eta0", str(args.get("eta0", 0.0 if curriculum == "lce" else 0.5)),
             # pretrained verbalizer CE is O(1): reference-exact feedback scale
             "--ce_scale", "1.0",
+            # pretrained T5 was trained on CONTIGUOUS text: packed assembly
+            # reproduces the reference's whole-string tokenization geometry
+            # (lceT5.py:40-53) instead of the segment layout's interior pad
+            # gaps; evaluate() serves with the same layout via the saved
+            # RunConfig (cli/evaluate.py)
+            "--packed_assembly", "true",
         ]
         train(argv=train_args)
 
