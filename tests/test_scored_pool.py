@@ -243,6 +243,29 @@ def test_runner_scored_pool_end_to_end(tmp_path):
         run(RunConfig(**{**base, "curriculum": "interp"}))
 
 
+def test_scored_pool_with_packed_assembly():
+    """Scored-pool selection composes with packed=True assembly: the
+    candidate scoring forward and the train step both see contiguous
+    prompts (mask rows monotone nonincreasing), and the step trains."""
+    cfg = T5Config.tiny(vocab_size=256)
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=64, num_queries=8, seed=0)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=8)
+    triples = TripletStore.synthetic(corpus, n_pairs=6, n_neg=12, seed=1)
+    dc = DeviceCorpus.build(store, triples, packed=True)
+    params = init_params(jax.random.key(0), cfg)
+
+    # the packed flag must hold for every assembly the step performs
+    ids, mask = dc.assemble(jnp.arange(4), jnp.arange(4))
+    m = np.asarray(mask)
+    assert (np.diff(m, axis=1) <= 0).all()
+
+    ctrl, tx, fused = _build(cfg, tok, dc, difficulty=0.5)
+    state = init_train_state(params, tx, ctrl.init())
+    state, metrics = jax.jit(fused)(state, jnp.arange(4) % dc.num_pairs)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_candidate_count_validation():
     cfg, tok, dc, params = _setup()
     ctrl = EtaController(eta0=1.0, meta_lr=0.01, warmup_steps=1,
