@@ -423,6 +423,11 @@ def bench_rerank(cfg, tok, store, params, steps):
                                true length, not the corpus max. Composes
                                with INT8. BENCH_RERANK_BUCKET sets the
                                bucket granularity (default 32 tokens).
+
+    The timed region is the full serving path — host prompt assembly
+    (packing/bucketing included) serialized with device scoring — not just
+    device time; the number is an honest docs/sec a caller would see, and
+    is NOT comparable to a device-only measurement.
     Returns (docs_per_sec, prompt_len, extra_record_fields)."""
     import time
 
@@ -480,13 +485,12 @@ def bench_rerank(cfg, tok, store, params, steps):
     M = steps * B
     q_rows = rng.integers(0, n_q, size=M)
     d_rows = rng.integers(0, n_d, size=M)
-    # warm on a DISJOINT same-distribution pair set: warming on the timed
-    # pairs would let the tunnel dedup identical (program, inputs) blocks
-    # and inflate the measurement (axon dedup pitfall, bench_fused note)
-    wrng = np.random.default_rng(1)
-    compiled = rr.warm(
-        wrng.integers(0, n_q, size=M), wrng.integers(0, n_d, size=M)
-    )  # one compile per bucket, fetch-synced
+    # warm on the TIMED pairs so every bucket the timed pass needs is
+    # compiled (a disjoint sample can miss a boundary bucket and put an
+    # XLA compile inside the timed region); warm() permutes each block's
+    # rows, so tunnel execution-dedup cannot satisfy a timed block from
+    # the warm result (axon dedup pitfall, bench_fused note)
+    compiled = rr.warm(q_rows, d_rows)  # one compile per bucket, fetch-synced
     if packed:
         extra["buckets_compiled"] = compiled
         extra["mean_true_len"] = round(
@@ -1047,8 +1051,13 @@ def main():
                 env[k] = v
         if ph == "fused":
             timeout_s = min(max(remaining, 120), fused_timeout)
+        elif required:
+            timeout_s = max(remaining, 120)
         else:
-            timeout_s = max(remaining, 120 if required else 60)
+            # optional phases get a cap of 2x their cold estimate: one
+            # wedged optional subprocess (tunnel dies mid-phase) must not
+            # starve the phases behind it of the whole remaining budget
+            timeout_s = min(max(remaining, 60), 2 * est)
         got, out_text, err_text = run_sub(ph, env, timeout_s)
         if not got:
             blob = out_text[-2000:] + err_text[-2000:]

@@ -46,38 +46,46 @@ class PromptTemplate:
         return len(self.prefix) + max_q + len(self.mid) + max_d + len(self.suffix)
 
 
+def encode_texts(texts, tok: Tokenizer) -> list:
+    """Encode a chunk of texts, choosing batched vs per-call encode.
+
+    ``encode_batch`` is used when the tokenizer has one AND >1 CPU is
+    available: the Rust `tokenizers` backend rayon-parallelizes a chunk
+    across cores, but measured on 1 CPU it's ~17% SLOWER than per-call
+    encode from thread-pool overhead. The gate uses the CPUs available to
+    THIS process (``sched_getaffinity``): ``os.cpu_count()`` reports
+    physical cores and ignores cgroup/affinity pinning, so a 1-CPU
+    container on a many-core host would take the slower path. This is the
+    single shared policy for both ingestion paths (in-RAM ``_encode_all``
+    and ``data/streaming.py``)."""
+    import os
+
+    batched = getattr(tok, "encode_batch", None)
+    try:
+        avail_cpus = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux fallback
+        avail_cpus = os.cpu_count() or 1
+    if batched is not None and avail_cpus > 1:
+        return batched(texts)
+    return [tok.encode(t) for t in texts]
+
+
 def _encode_all(
     texts, tok: Tokenizer, max_len: int, chunk: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize ``texts`` into a preallocated (N, max_len) matrix, chunked.
 
-    Two properties matter at MS MARCO scale (8.8M docs, SURVEY §3.2):
-    - ``encode_batch`` when the tokenizer has one AND >1 CPU is available
-      (the Rust `tokenizers` backend rayon-parallelizes a chunk across
-      cores; measured on 1 CPU it's ~17% SLOWER than per-call encode from
-      thread-pool overhead, so it's gated on core count);
-    - rows are written straight into the final matrix, so peak host RAM is
-      final size + one chunk of Python lists, not 2x final size the way a
-      whole-corpus list-of-lists + pad_batch would be.
+    Rows are written straight into the final matrix, so peak host RAM is
+    final size + one chunk of Python lists, not 2x final size the way a
+    whole-corpus list-of-lists + pad_batch would be (MS MARCO scale,
+    SURVEY §3.2). Batched-vs-serial encode policy: ``encode_texts``.
     """
-    import os
-
     n = len(texts)
     out = np.full((n, max_len), tok.pad_id, np.int32)
     mask = np.zeros((n, max_len), np.int32)
-    batched = getattr(tok, "encode_batch", None)
-    # gate on CPUs actually available to THIS process: os.cpu_count()
-    # reports physical cores and ignores cgroup/affinity pinning, so a
-    # 1-CPU container on a many-core host would take the slower path
-    try:
-        avail_cpus = len(os.sched_getaffinity(0))
-    except (AttributeError, OSError):  # non-Linux fallback
-        avail_cpus = os.cpu_count() or 1
-    if avail_cpus <= 1:
-        batched = None
     for lo in range(0, n, chunk):
         part = texts[lo : lo + chunk]
-        seqs = batched(part) if batched else [tok.encode(t) for t in part]
+        seqs = encode_texts(part, tok)
         for i, s in enumerate(seqs):
             s = s[:max_len]
             out[lo + i, : len(s)] = s

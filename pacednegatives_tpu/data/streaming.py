@@ -53,14 +53,10 @@ def iter_tsv_texts(path: str) -> Iterator[str]:
 
 
 def _encode_chunk(texts: list[str], tok: Tokenizer) -> list:
-    batched = getattr(tok, "encode_batch", None)
-    try:
-        avail = len(os.sched_getaffinity(0))
-    except (AttributeError, OSError):
-        avail = os.cpu_count() or 1
-    if batched is not None and avail > 1:
-        return batched(texts)
-    return [tok.encode(t) for t in texts]
+    # single shared batched-vs-serial encode policy (affinity-gated)
+    from pacednegatives_tpu.data.pipeline import encode_texts
+
+    return encode_texts(texts, tok)
 
 
 def stream_tokenize(

@@ -111,16 +111,25 @@ class Reranker:
         """Pre-compile every program this pair set will need (one XLA
         compile per distinct bucket length) so scoring latency is
         compile-free — call before serving traffic or timing. Returns the
-        distinct bucket lengths compiled."""
+        distinct bucket lengths compiled.
+
+        Each warm block is a row PERMUTATION of a representative block from
+        the plan: the permuted pairs still fit the same bucket, but the
+        input bytes differ from any block score_pairs will later submit, so
+        an execution-dedup layer (the tunneled-TPU pitfall) cannot satisfy
+        a timed block from the warm run's result."""
+        perm = np.random.default_rng(0x5EED).permutation
         if self.packed and self.bucket_lens:
             seen: dict[int, np.ndarray] = {}
             for blk, out_len in self._bucket_plan(q_rows, d_rows):
                 seen.setdefault(out_len, blk)
             for out_len, blk in seen.items():
-                self._score_block(q_rows[blk], d_rows[blk], out_len)
+                p = perm(len(blk))
+                self._score_block(q_rows[blk][p], d_rows[blk][p], out_len)
             return sorted(seen)
         B = min(self.batch_size, len(q_rows))
-        self._score_block(q_rows[:B], d_rows[:B], None)
+        p = perm(B)
+        self._score_block(q_rows[:B][p], d_rows[:B][p], None)
         return [self.store.prompt_len]
 
     def score_pairs(self, q_rows: np.ndarray, d_rows: np.ndarray) -> np.ndarray:

@@ -83,6 +83,17 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def constrain_rows(v: jax.Array) -> jax.Array:
+    """In-jit sharding constraint: leading (row) axis over the combined
+    ``("data", "seq")`` mesh axes, trailing axes replicated. No-op outside
+    a mesh with those axes. The SINGLE definition of the negative-parallel
+    row layout — train/step.py and train/scored_pool.py both use it, so the
+    fused and scored-pool paths cannot drift apart."""
+    return jax.lax.with_sharding_constraint(
+        v, P((DATA_AXIS, SEQ_AXIS), *([None] * (v.ndim - 1)))
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch pytree with the batch dim sharded over data."""
 

@@ -396,7 +396,13 @@ def _make_eval_fn(cfg: RunConfig, store, triples, mcfg, tok):
         ]
     )  # (P, n_cand), positive in column 0
     q_rows = np.repeat(triples.query_rows[sel], n_cand)
-    ids, mask = store.assemble_host(q_rows, cand.reshape(-1))
+    # probe with the layout the model TRAINS with: packed runs must not be
+    # scored on segment-layout prompts (positional geometry differs —
+    # data/device_corpus.py packed note)
+    if cfg.packed_assembly:
+        ids, mask = store.assemble_host_packed(q_rows, cand.reshape(-1))
+    else:
+        ids, mask = store.assemble_host(q_rows, cand.reshape(-1))
     ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
 
     @jax.jit

@@ -60,12 +60,11 @@ from pacednegatives_tpu.train.state import TrainState
 
 def _row_constrain(v: jax.Array) -> jax.Array:
     """Shard leading (row) axis over the combined ("data", "seq") mesh axes
-    (no-op outside a mesh with those axes — make_fused_step convention)."""
-    from jax.sharding import PartitionSpec as P
+    (no-op outside a mesh with those axes — the make_fused_step convention;
+    single shared definition in parallel/mesh.constrain_rows)."""
+    from pacednegatives_tpu.parallel.mesh import constrain_rows
 
-    return jax.lax.with_sharding_constraint(
-        v, P(("data", "seq"), *([None] * (v.ndim - 1)))
-    )
+    return constrain_rows(v)
 
 
 def balanced_slots(n_pool: int, c: int) -> np.ndarray:

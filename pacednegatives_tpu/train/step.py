@@ -386,13 +386,10 @@ def make_fused_step(
     default_corpus = corpus
 
     def _constrain_rows(batch):
-        from jax.sharding import PartitionSpec as P  # local: keep import light
+        # single shared row-layout definition: parallel/mesh.constrain_rows
+        from pacednegatives_tpu.parallel.mesh import constrain_rows
 
-        def _c(v):
-            spec = P(("data", "seq"), *([None] * (v.ndim - 1)))
-            return jax.lax.with_sharding_constraint(v, spec)
-
-        return {k: _c(v) for k, v in batch.items()}
+        return {k: constrain_rows(v) for k, v in batch.items()}
 
     def fused(state: TrainState, pair_idx: jax.Array, corpus=None):
         # corpus may be threaded in as a jit ARGUMENT (DeviceCorpus pytree

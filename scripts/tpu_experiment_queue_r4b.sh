@@ -4,12 +4,23 @@
 # Waits for the primary r4 queue (scripts/tpu_experiment_queue_r4.sh) to
 # finish so the two never contend for the single tunneled chip, then waits
 # for the tunnel itself, then runs each arm. One JSON line per experiment.
+#
+# PID-FILE CONTRACT: queue scripts do not daemonize themselves; the
+# LAUNCHER must record the pid (`bash <script> & echo $! > /tmp/<name>.pid`)
+# so chained queues can wait on it. This script waits on
+# /tmp/queue_r4.pid if present and WARNS if absent (it cannot then rule
+# out a concurrent queue corrupting both sets of timings).
 set -u
 cd "$(dirname "$0")/.."
+echo $$ > /tmp/queue_r4b.run.pid
 
 if [ -f /tmp/queue_r4.pid ]; then
   prev=$(cat /tmp/queue_r4.pid)
   while kill -0 "$prev" 2>/dev/null; do sleep 60; done
+else
+  echo "r4b: WARNING /tmp/queue_r4.pid missing — cannot wait for the" \
+       "primary queue; if it is running, timings from BOTH queues are" \
+       "contended garbage" >&2
 fi
 
 probe() {
