@@ -43,3 +43,34 @@ def test_fatal_fused_phase_still_emits_parseable_record():
         assert "value" in rec
     assert "startup" in first["error"]
     assert "fused" in last["error"]
+
+
+def test_budget_skipped_optional_phases_recorded_rc0():
+    """A healthy fused+ref run whose budget runs out before the optional
+    phases must exit 0 with the headline keys AND list every skipped
+    optional phase in ``skipped_phases`` — a budget-skipped trailing phase
+    must be distinguishable from a disabled one."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        BENCH_FORCE_CPU="1",
+        BENCH_MODEL="tiny",
+        BENCH_STEPS="2",
+        BENCH_BATCH="2",
+        BENCH_NEGS="2",
+        BENCH_MICROBATCH="1",  # caller override: B=2 can't split 4 ways
+        # enough for the two required phases on CPU-tiny, far below any
+        # optional phase's cold estimate => all optionals budget-skip
+        BENCH_TIME_BUDGET="170",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert last["value"] > 0
+    assert "fused_steps_per_sec" in last
+    skipped = set(last.get("skipped_phases", []))
+    assert {"fused512", "scale", "fused_scored", "rerank"} <= skipped
