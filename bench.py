@@ -885,13 +885,90 @@ def _probe_device(timeout_s: float = 95.0):
         return False, f"device probe timed out after {timeout_s:.0f}s"
 
 
+# Single-chip arbitration with the builder's experiment queues
+# (scripts/tpu_experiment_queue_r4*.sh). The official (driver) bench run must
+# never share the tunneled chip with an A/B experiment — contention corrupts
+# both timings. Protocol:
+#   - a queue experiment exports BENCH_QUEUE=1; its bench.py phase process
+#     writes its OWN pid to _QUEUE_ACTIVE while it runs;
+#   - the parent bench (no BENCH_PHASE) takes _DRIVER_LOCK for its whole run
+#     and preempts any live _QUEUE_ACTIVE pid (SIGTERM, escalate to SIGKILL
+#     — always a specific pid from the file, never pattern-matched);
+#   - queue scripts wait while _DRIVER_LOCK is held by a live pid between
+#     experiments, and retry an experiment that was preempted mid-flight.
+# (paths env-overridable so the arbitration tests can never collide with a
+# live queue on the same box)
+_DRIVER_LOCK = os.environ.get("BENCH_DRIVER_LOCK", "/tmp/pn_bench_driver.lock")
+_QUEUE_ACTIVE = os.environ.get("BENCH_QUEUE_ACTIVE", "/tmp/pn_queue_active.pid")
+
+
+def _mark_queue_active():
+    import atexit
+
+    try:
+        with open(_QUEUE_ACTIVE, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:  # /tmp unwritable: arbitration off, bench still works
+        return
+
+    def _cleanup():
+        try:
+            with open(_QUEUE_ACTIVE) as f:
+                if f.read().strip() == str(os.getpid()):
+                    os.remove(_QUEUE_ACTIVE)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
+
+
+def _take_driver_lock():
+    import atexit
+    import signal
+
+    try:
+        with open(_DRIVER_LOCK, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(lambda: os.path.exists(_DRIVER_LOCK)
+                        and os.remove(_DRIVER_LOCK))
+    except OSError:
+        pass
+    # Preempt an in-flight queue experiment so the chip is ours. TERM first;
+    # a tunnel RPC stuck in C code can shrug TERM off, so escalate to KILL.
+    try:
+        with open(_QUEUE_ACTIVE) as f:
+            qpid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    for sig, grace in ((signal.SIGTERM, 20.0), (signal.SIGKILL, 5.0)):
+        try:
+            os.kill(qpid, sig)
+        except OSError:  # already gone (or stale file)
+            return
+        print(f"[bench] preempting queue experiment pid {qpid} "
+              f"({sig.name})", file=sys.stderr, flush=True)
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < grace:
+            time.sleep(0.5)
+            try:
+                os.kill(qpid, 0)
+            except OSError:
+                return
+
+
 def main():
     import subprocess
 
     phase = os.environ.get("BENCH_PHASE")
     if phase:
+        if os.environ.get("BENCH_QUEUE", "0") == "1":
+            _mark_queue_active()
+        if phase == "noop":  # arbitration-test hook: advertise pid, idle, exit
+            time.sleep(float(os.environ.get("BENCH_QUEUE_ACTIVE_HOLD", "0")))
+            return
         run_phase(phase)
         return
+    _take_driver_lock()
 
     t_start = time.monotonic()
     # Wall budget for the WHOLE bench (seconds). Optional phases are skipped

@@ -12,11 +12,32 @@
 # One JSON line per experiment on stdout; failures record stderr tails.
 # flash_v3 runs self-assert kernel engagement (bench.py refuses to record
 # a no-op A/B when no pallas call is in the lowered module).
+#
+# CHIP ARBITRATION (bench.py:_DRIVER_LOCK/_QUEUE_ACTIVE): the driver's
+# official bench takes /tmp/pn_bench_driver.lock and preempts the live
+# experiment; this queue waits while that lock is held by a live pid and
+# retries a preempted experiment once. BENCH_QUEUE=1 makes each experiment's
+# bench.py process advertise its pid in /tmp/pn_queue_active.pid so the
+# driver can preempt exactly it (never pattern-matched).
 set -u
 cd "$(dirname "$0")/.."
 
 probe() {
   timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+wait_driver() {
+  while [ -f /tmp/pn_bench_driver.lock ]; do
+    local dp
+    dp=$(cat /tmp/pn_bench_driver.lock 2>/dev/null)
+    if [ -n "$dp" ] && kill -0 "$dp" 2>/dev/null; then
+      echo "[queue] driver bench active (pid $dp); waiting" >&2
+      sleep 30
+    else
+      rm -f /tmp/pn_bench_driver.lock
+      break
+    fi
+  done
 }
 
 echo "waiting for TPU tunnel..." >&2
@@ -26,13 +47,28 @@ echo "tunnel up at $(date -u +%H:%M:%S)" >&2
 L188="BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=192 BENCH_MICROBATCH=4 BENCH_OPT_MOMENTS=factored BENCH_STEPS=20"
 L512="BENCH_DOC_TOKENS=484 BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=512 BENCH_MICROBATCH=8 BENCH_OPT_MOMENTS=factored BENCH_STEPS=16"
 
+run_once() { # timeout_s, phase, env...  -> /tmp/q_out.txt, /tmp/q_err.txt
+  local t="$1" phase="$2"; shift 2
+  env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
+    timeout "$t" python bench.py >/tmp/q_out.txt 2>/tmp/q_err.txt
+}
+
 run() { # name, timeout_s, phase, env...
   local name="$1" t="$2" phase="$3"; shift 3
+  wait_driver
   echo "[queue] $name starting at $(date -u +%H:%M:%S)" >&2
+  run_once "$t" "$phase" "$@"
   local out
-  out=$(env "$@" BENCH_PHASE="$phase" timeout "$t" python bench.py 2>/tmp/q_err.txt)
+  out=$(tail -1 /tmp/q_out.txt 2>/dev/null)
+  if [ -z "$out" ] && [ -f /tmp/pn_bench_driver.lock ]; then
+    echo "[queue] $name preempted by driver bench; retrying after" >&2
+    sleep 30
+    wait_driver
+    run_once "$t" "$phase" "$@"
+    out=$(tail -1 /tmp/q_out.txt 2>/dev/null)
+  fi
   if [ -n "$out" ]; then
-    echo "{\"exp\": \"$name\", $(echo "$out" | tail -1 | sed 's/^{//')"
+    echo "{\"exp\": \"$name\", $(echo "$out" | sed 's/^{//')"
   else
     echo "{\"exp\": \"$name\", \"failed\": \"$(tail -c 200 /tmp/q_err.txt | tr '\"\n' ' ')\"}"
   fi

@@ -10,6 +10,10 @@
 # so chained queues can wait on it. This script waits on
 # /tmp/queue_r4.pid if present and WARNS if absent (it cannot then rule
 # out a concurrent queue corrupting both sets of timings).
+#
+# CHIP ARBITRATION: same protocol as the primary queue — honors the
+# driver bench's /tmp/pn_bench_driver.lock, advertises each experiment via
+# BENCH_QUEUE=1, retries once if preempted.
 set -u
 cd "$(dirname "$0")/.."
 echo $$ > /tmp/queue_r4b.run.pid
@@ -26,17 +30,47 @@ fi
 probe() {
   timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1
 }
+
+wait_driver() {
+  while [ -f /tmp/pn_bench_driver.lock ]; do
+    local dp
+    dp=$(cat /tmp/pn_bench_driver.lock 2>/dev/null)
+    if [ -n "$dp" ] && kill -0 "$dp" 2>/dev/null; then
+      echo "[queue-r4b] driver bench active (pid $dp); waiting" >&2
+      sleep 30
+    else
+      rm -f /tmp/pn_bench_driver.lock
+      break
+    fi
+  done
+}
+
 echo "r4b: waiting for TPU tunnel..." >&2
 until probe; do sleep 60; done
 echo "r4b: tunnel up at $(date -u +%H:%M:%S)" >&2
 
+run_once() { # timeout_s, phase, env...
+  local t="$1" phase="$2"; shift 2
+  env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
+    timeout "$t" python bench.py >/tmp/q_out_r4b.txt 2>/tmp/q_err_r4b.txt
+}
+
 run() { # name, timeout_s, phase, env...
   local name="$1" t="$2" phase="$3"; shift 3
+  wait_driver
   echo "[queue-r4b] $name starting at $(date -u +%H:%M:%S)" >&2
+  run_once "$t" "$phase" "$@"
   local out
-  out=$(env "$@" BENCH_PHASE="$phase" timeout "$t" python bench.py 2>/tmp/q_err_r4b.txt)
+  out=$(tail -1 /tmp/q_out_r4b.txt 2>/dev/null)
+  if [ -z "$out" ] && [ -f /tmp/pn_bench_driver.lock ]; then
+    echo "[queue-r4b] $name preempted by driver bench; retrying after" >&2
+    sleep 30
+    wait_driver
+    run_once "$t" "$phase" "$@"
+    out=$(tail -1 /tmp/q_out_r4b.txt 2>/dev/null)
+  fi
   if [ -n "$out" ]; then
-    echo "{\"exp\": \"$name\", $(echo "$out" | tail -1 | sed 's/^{//')"
+    echo "{\"exp\": \"$name\", $(echo "$out" | sed 's/^{//')"
   else
     echo "{\"exp\": \"$name\", \"failed\": \"$(tail -c 200 /tmp/q_err_r4b.txt | tr '\"\n' ' ')\"}"
   fi

@@ -45,6 +45,68 @@ def test_fatal_fused_phase_still_emits_parseable_record():
     assert "fused" in last["error"]
 
 
+def test_driver_lock_preempts_queue_and_cleans_up(tmp_path):
+    """Chip arbitration (bench.py:_take_driver_lock): the parent bench must
+    kill the pid advertised in the queue-active file (a queue experiment
+    holding the chip), and must remove its own driver lock at exit so the
+    queues can resume. Paths are env-parametrized so this test can never
+    touch a live queue's files."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lock = tmp_path / "driver.lock"
+    active = tmp_path / "queue_active.pid"
+    sleeper = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(300)"])
+    try:
+        active.write_text(str(sleeper.pid))
+        env = dict(
+            os.environ,
+            BENCH_FORCE_CPU="1",
+            BENCH_DRIVER_LOCK=str(lock),
+            BENCH_QUEUE_ACTIVE=str(active),
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; bench._take_driver_lock()"],
+            env=env, cwd=root, capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr[-500:]
+        assert "preempting queue experiment" in proc.stderr
+        assert sleeper.wait(timeout=30) != 0  # SIGTERMed by the lock taker
+        assert not lock.exists()  # atexit released the lock
+    finally:
+        if sleeper.poll() is None:
+            sleeper.kill()
+
+
+def test_queue_phase_advertises_own_pid(tmp_path):
+    """A BENCH_QUEUE=1 phase process must write its pid to the queue-active
+    file while running (so the driver can preempt exactly it) and remove it
+    at exit."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    active = tmp_path / "queue_active.pid"
+    env = dict(
+        os.environ,
+        BENCH_FORCE_CPU="1",
+        BENCH_QUEUE="1",
+        BENCH_QUEUE_ACTIVE=str(active),
+        BENCH_QUEUE_ACTIVE_HOLD="3",  # test hook: hold after write
+        BENCH_PHASE="noop",           # marker write + exit, no model build
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(root, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    import time as _time
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline and not active.exists():
+        _time.sleep(0.1)
+    assert active.exists(), proc.stderr.read()[-500:] \
+        if proc.poll() is not None else "pid file never appeared"
+    assert int(active.read_text()) == proc.pid
+    proc.wait(timeout=60)
+    assert not active.exists()  # cleaned up at exit
+
+
 def test_budget_skipped_optional_phases_recorded_rc0():
     """A healthy fused+ref run whose budget runs out before the optional
     phases must exit 0 with the headline keys AND list every skipped
