@@ -935,14 +935,31 @@ def _take_driver_lock():
         pass
     # Preempt an in-flight queue experiment so the chip is ours. TERM first;
     # a tunnel RPC stuck in C code can shrug TERM off, so escalate to KILL.
+    # Kill the advertised pid's PROCESS GROUP when it has one of its own
+    # (queue scripts launch experiments under setsid), so a queue-mode full
+    # bench parent takes its phase children down with it; fall back to the
+    # single pid otherwise.
     try:
         with open(_QUEUE_ACTIVE) as f:
             qpid = int(f.read().strip())
     except (OSError, ValueError):
         return
+
+    def _deliver(sig):
+        # only group-kill a group we are NOT part of (a setsid'd experiment);
+        # never our own group.
+        pgid = os.getpgid(qpid)  # raises OSError if qpid is gone
+        if pgid != os.getpgid(0):
+            try:
+                os.killpg(pgid, sig)
+                return
+            except OSError:
+                pass
+        os.kill(qpid, sig)
+
     for sig, grace in ((signal.SIGTERM, 20.0), (signal.SIGKILL, 5.0)):
         try:
-            os.kill(qpid, sig)
+            _deliver(sig)
         except OSError:  # already gone (or stale file)
             return
         print(f"[bench] preempting queue experiment pid {qpid} "
@@ -960,15 +977,25 @@ def main():
     import subprocess
 
     phase = os.environ.get("BENCH_PHASE")
+    queue_mode = os.environ.get("BENCH_QUEUE", "0") == "1"
     if phase:
-        if os.environ.get("BENCH_QUEUE", "0") == "1":
+        if queue_mode:
             _mark_queue_active()
         if phase == "noop":  # arbitration-test hook: advertise pid, idle, exit
             time.sleep(float(os.environ.get("BENCH_QUEUE_ACTIVE_HOLD", "0")))
             return
         run_phase(phase)
         return
-    _take_driver_lock()
+    if queue_mode:
+        # Subordinate full-bench run launched BY a queue (e.g. the end-of-
+        # queue cache warm-up): advertise this parent so the driver's
+        # official run can preempt the whole process group; don't take the
+        # driver lock. Children must NOT re-advertise (the parent's pid is
+        # the preemption handle for the group) — BENCH_QUEUE is stripped
+        # from phase env below.
+        _mark_queue_active()
+    else:
+        _take_driver_lock()
 
     t_start = time.monotonic()
     # Wall budget for the WHOLE bench (seconds). Optional phases are skipped
@@ -1120,6 +1147,7 @@ def main():
             _emit(results, batch_size, n, model, skipped)
             continue
         env = dict(os.environ, BENCH_PHASE=ph)
+        env.pop("BENCH_QUEUE", None)  # see queue_mode note above
         for k, v in extra_env.items():
             # phase-defining keys always apply; tuning knobs are defaults
             # the caller's environment may override

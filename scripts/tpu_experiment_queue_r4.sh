@@ -48,8 +48,10 @@ L188="BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=192 BENCH_MICROBATCH=4 B
 L512="BENCH_DOC_TOKENS=484 BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=512 BENCH_MICROBATCH=8 BENCH_OPT_MOMENTS=factored BENCH_STEPS=16"
 
 run_once() { # timeout_s, phase, env...  -> /tmp/q_out.txt, /tmp/q_err.txt
+  # setsid: each experiment gets its own process group so the driver's
+  # preemption (bench.py killpg) can never take this queue script with it.
   local t="$1" phase="$2"; shift 2
-  env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
+  setsid env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
     timeout "$t" python bench.py >/tmp/q_out.txt 2>/tmp/q_err.txt
 }
 

@@ -50,8 +50,9 @@ until probe; do sleep 60; done
 echo "r4b: tunnel up at $(date -u +%H:%M:%S)" >&2
 
 run_once() { # timeout_s, phase, env...
+  # setsid: own process group per experiment — see tpu_experiment_queue_r4.sh
   local t="$1" phase="$2"; shift 2
-  env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
+  setsid env "$@" BENCH_QUEUE=1 BENCH_PHASE="$phase" \
     timeout "$t" python bench.py >/tmp/q_out_r4b.txt 2>/tmp/q_err_r4b.txt
 }
 
@@ -81,4 +82,19 @@ run() { # name, timeout_s, phase, env...
 # padded to max); packed+buckets is the TPU-native serving path.
 run rerank_packed      2400 rerank BENCH_STEPS=40 BENCH_RERANK_PACKED=1
 run rerank_packed_int8 2400 rerank BENCH_STEPS=40 BENCH_RERANK_PACKED=1 BENCH_RERANK_INT8=1
+
+# --- round-close validation (VERDICT r3 item 1d): re-warm .jax_cache and
+# validate the FULL default bench end-to-end, twice — run 1 fills any cold
+# cache entries, run 2 records the warm-cache wall time the driver's
+# end-of-round run will see. Queue-mode parent (BENCH_QUEUE=1, no phase):
+# advertised for driver preemption, takes no driver lock — if the driver's
+# official run lands mid-warm-up it preempts this group and supersedes it.
+for i in 1 2; do
+  wait_driver
+  echo "[queue-r4b] warm full bench $i starting at $(date -u +%H:%M:%S)" >&2
+  setsid env BENCH_QUEUE=1 timeout 2000 python bench.py \
+    >"/tmp/warm_bench$i.json" 2>"/tmp/warm_bench$i.err"
+  echo "[queue-r4b] warm full bench $i done rc=$? at $(date -u +%H:%M:%S):" \
+       "$(tail -c 300 /tmp/warm_bench$i.json)" >&2
+done
 echo "r4b queue done at $(date -u +%H:%M:%S)" >&2
