@@ -710,7 +710,7 @@ def run_phase(phase: str):
         print(json.dumps({"phase": "ref", "steps_per_sec": sps}))
 
 
-def _emit(results, batch_size, n, model, skipped, error=None):
+def _emit(results, batch_size, n, model, skipped, error=None, timings=None):
     """Build and print the best headline record available from the phases
     that have finished so far. Called BEFORE any phase (stub), after EVERY
     phase, and on fatal failure (with ``error``): the last JSON line on
@@ -740,6 +740,10 @@ def _emit(results, batch_size, n, model, skipped, error=None):
     }
     if error is not None:
         record["error"] = str(error)[-500:]
+    if timings:
+        # wall seconds per phase SUBPROCESS (compile + measure + overhead) —
+        # lets the driver see where a slow run's time went without stderr
+        record["phase_secs"] = {k: round(v, 1) for k, v in timings.items()}
 
     if "fused" not in results:
         # Stub/partial record: no headline number yet, but still one
@@ -1087,6 +1091,7 @@ def main():
 
     results = {}
     skipped = {}
+    timings = {}  # phase -> wall seconds (incl. retries), for the record
 
     # FIRST action: one parseable (stub) JSON line on stdout, so even a
     # SIGKILL two seconds from now leaves a record the driver can parse.
@@ -1144,7 +1149,7 @@ def main():
             # re-emit so the LAST stdout line records this skip too — the
             # driver parses only the final line, and a budget-skipped
             # trailing phase must be distinguishable from a disabled one
-            _emit(results, batch_size, n, model, skipped)
+            _emit(results, batch_size, n, model, skipped, timings=timings)
             continue
         env = dict(os.environ, BENCH_PHASE=ph)
         env.pop("BENCH_QUEUE", None)  # see queue_mode note above
@@ -1163,6 +1168,7 @@ def main():
             # wedged optional subprocess (tunnel dies mid-phase) must not
             # starve the phases behind it of the whole remaining budget
             timeout_s = min(max(remaining, 60), 2 * est)
+        t_ph = time.monotonic()
         got, out_text, err_text = run_sub(ph, env, timeout_s)
         if not got:
             blob = out_text[-2000:] + err_text[-2000:]
@@ -1181,12 +1187,14 @@ def main():
                 else:
                     timeout_s = max(remaining - 60, 120)
                 got, out_text, err_text = run_sub(ph, env, timeout_s)
+        timings[ph] = time.monotonic() - t_ph
         if not got:
             msg = f"phase {ph} failed:\n{out_text[-500:]}\n{err_text[-2000:]}"
             if ph == "fused":  # the only fatal phase (see phases table)
                 # print the record FIRST — the last stdout line must stay
                 # parseable JSON under every failure mode (r03 regression)
-                _emit(results, batch_size, n, model, skipped, error=msg)
+                _emit(results, batch_size, n, model, skipped, error=msg,
+                      timings=timings)
                 print(msg, file=sys.stderr, flush=True)
                 sys.exit(1)
             skipped[ph] = msg[-300:]
@@ -1194,7 +1202,7 @@ def main():
                   file=sys.stderr, flush=True)
         # Emit the cumulative record NOW — each phase's completion makes the
         # last stdout line strictly more complete.
-        _emit(results, batch_size, n, model, skipped)
+        _emit(results, batch_size, n, model, skipped, timings=timings)
 
 
 if __name__ == "__main__":

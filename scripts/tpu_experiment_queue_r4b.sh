@@ -18,6 +18,9 @@ set -u
 cd "$(dirname "$0")/.."
 echo $$ > /tmp/queue_r4b.run.pid
 
+# see tpu_experiment_queue_r4.sh: results persist in the repo tree
+RESULTS=docs/experiments_r4.jsonl
+
 if [ -f /tmp/queue_r4.pid ]; then
   prev=$(cat /tmp/queue_r4.pid)
   while kill -0 "$prev" 2>/dev/null; do sleep 60; done
@@ -70,11 +73,14 @@ run() { # name, timeout_s, phase, env...
     run_once "$t" "$phase" "$@"
     out=$(tail -1 /tmp/q_out_r4b.txt 2>/dev/null)
   fi
+  local line
   if [ -n "$out" ]; then
-    echo "{\"exp\": \"$name\", $(echo "$out" | sed 's/^{//')"
+    line="{\"exp\": \"$name\", $(echo "$out" | sed 's/^{//')"
   else
-    echo "{\"exp\": \"$name\", \"failed\": \"$(tail -c 200 /tmp/q_err_r4b.txt | tr '\"\n' ' ')\"}"
+    line="{\"exp\": \"$name\", \"failed\": \"$(tail -c 200 /tmp/q_err_r4b.txt | tr '\"\n' ' ')\"}"
   fi
+  echo "$line"
+  echo "$line" >> "$RESULTS"
 }
 
 # dense-vs-packed serving A/B on the SAME varlen length distribution:
@@ -92,9 +98,18 @@ run rerank_packed_int8 2400 rerank BENCH_STEPS=40 BENCH_RERANK_PACKED=1 BENCH_RE
 for i in 1 2; do
   wait_driver
   echo "[queue-r4b] warm full bench $i starting at $(date -u +%H:%M:%S)" >&2
+  t0=$SECONDS
   setsid env BENCH_QUEUE=1 timeout 2000 python bench.py \
     >"/tmp/warm_bench$i.json" 2>"/tmp/warm_bench$i.err"
-  echo "[queue-r4b] warm full bench $i done rc=$? at $(date -u +%H:%M:%S):" \
-       "$(tail -c 300 /tmp/warm_bench$i.json)" >&2
+  rc=$?
+  wall=$((SECONDS - t0))
+  last=$(tail -n 1 "/tmp/warm_bench$i.json" 2>/dev/null)
+  echo "[queue-r4b] warm full bench $i done rc=$rc wall=${wall}s at" \
+       "$(date -u +%H:%M:%S)" >&2
+  if [ -n "$last" ]; then
+    echo "{\"exp\": \"warm_full_$i\", \"rc\": $rc, \"wall_s\": $wall, $(echo "$last" | sed 's/^{//')" >> "$RESULTS"
+  else
+    echo "{\"exp\": \"warm_full_$i\", \"rc\": $rc, \"wall_s\": $wall, \"failed\": \"no output\"}" >> "$RESULTS"
+  fi
 done
 echo "r4b queue done at $(date -u +%H:%M:%S)" >&2
