@@ -95,7 +95,13 @@ def build(model_name: str):
     corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0,
                                   doc_len=max(150, doc_tokens - 10), query_len=12)
     store = TokenizedStore.build(corpus, tok, max_q_tokens=24, max_d_tokens=doc_tokens)
-    triples = TripletStore.synthetic(corpus, n_pairs=1024, n_neg=100, seed=1)
+    # BENCH_POOL: negative-pool length per pair. Default 100 keeps the
+    # compiled-program shapes of rounds 1-4 (warm cache); the reference's
+    # real pools are ~1000 long (compute_all_bm25.py:19), which the
+    # C=256 scored-pool arms need (balanced_slots requires C <= pool).
+    triples = TripletStore.synthetic(
+        corpus, n_pairs=1024, n_neg=int(os.environ.get("BENCH_POOL", "100")),
+        seed=1)
     dc = DeviceCorpus.build(store, triples)
     params = init_params(jax.random.key(0), cfg)
     return cfg, tok, corpus, store, triples, dc, params
@@ -979,6 +985,17 @@ def _take_driver_lock():
 
 def main():
     import subprocess
+
+    # BENCH_FAST=1: headline-only mode — just the two required phases
+    # (fused + reference-style), so a short tunnel window banks a complete
+    # official-format record (value / vs_baseline / mfu / north_star) in
+    # ~3 min of warm-cache device time instead of the full run's ~11 min.
+    # First thing the r5 experiment queue runs when the tunnel returns.
+    # Explicit BENCH_LONG/SCALE/SCORED/RERANK in the environment still win.
+    if os.environ.get("BENCH_FAST", "0") == "1":
+        for k in ("BENCH_LONG", "BENCH_SCALE", "BENCH_SCORED",
+                  "BENCH_RERANK"):
+            os.environ.setdefault(k, "0")
 
     phase = os.environ.get("BENCH_PHASE")
     queue_mode = os.environ.get("BENCH_QUEUE", "0") == "1"

@@ -113,8 +113,10 @@ def main(paths):
                 print(f"  {exp:>14}: {sps:.3f} steps/s (no baseline){note}")
 
     print("\n== north-star / serving arms ==")
-    for exp in ("scored64_188", "scored64i8_188", "rerank_bf16",
-                "rerank_int8", "rerank_packed", "rerank_packed_int8"):
+    for exp in ("fast_headline", "scored64_188", "scored64i8_188",
+                "scored256_188", "scored256i8_188", "int8_fidelity",
+                "rerank_bf16", "rerank_int8", "rerank_packed",
+                "rerank_packed_int8", "warm_full_1", "warm_full_2"):
         rec = recs.get(exp)
         if rec is None:
             print(f"  {exp:>18}: (not run)")
@@ -125,7 +127,11 @@ def main(paths):
         keys = {k: v for k, v in rec.items()
                 if k in ("steps_per_sec", "neg_scored_per_step",
                          "docs_per_sec", "prompt_len", "packed",
-                         "int8", "bucket_lens", "scored_pool_candidates")}
+                         "int8", "bucket_lens", "scored_pool_candidates",
+                         "value", "vs_baseline", "vs_reference_derived",
+                         "mfu", "rc", "wall_s", "spearman_mean",
+                         "spearman_min", "top8_overlap", "top32_overlap",
+                         "pair_flip_rate", "mean_true_len")}
         print(f"  {exp:>18}: {json.dumps(keys)}")
         out["info"][exp] = keys
 
@@ -135,5 +141,5 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or ["/tmp/queue_r4.jsonl",
-                                   "/tmp/queue_r4b.jsonl"]))
+    sys.exit(main(sys.argv[1:] or ["docs/experiments_r5.jsonl",
+                                   "docs/experiments_r4.jsonl"]))
