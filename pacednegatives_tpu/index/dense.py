@@ -102,6 +102,16 @@ class DenseIndex:
             return mips_topk_pallas_quantized(
                 queries, self.embeddings, self.scales, k, **self.method_kwargs
             )
+        if self.quantized and self.method == "exact":
+            # streaming dequantize: O(block) fp32 transient instead of a
+            # full-index copy (the scale trap — see ops/mips.py docstring)
+            from pacednegatives_tpu.ops.mips import (
+                mips_topk_quantized_streaming,
+            )
+
+            return mips_topk_quantized_streaming(
+                queries, self.embeddings, self.scales, k
+            )
         return _topk(
             self.method, queries, self._docs_fp(), k, **self.method_kwargs
         )

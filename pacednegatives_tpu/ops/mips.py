@@ -210,6 +210,66 @@ def mips_topk_pallas_quantized(
     return _merge_candidates(cand_v, cand_i, k)
 
 
+def mips_topk_quantized_streaming(
+    queries: jax.Array,  # (B, D) fp
+    d_values: jax.Array,  # (N, D) int8
+    d_scales: jax.Array,  # (N,) fp32
+    k: int,
+    block_rows: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over an int8 index WITHOUT materializing the fp32 index.
+
+    The memory-safe fallback for row counts the Pallas kernel's block
+    alignment doesn't divide (and for non-TPU backends): a ``lax.scan``
+    dequantizes and scores one ``block_rows`` slab per iteration, so the
+    fp32 transient is O(block_rows * D) — ~134 MB at the defaults with
+    D=512 — instead of the full index (~18 GB at 8.8M docs x 512, a hard
+    OOM on one chip, which is what the old full-dequantize fallback
+    staged). Exact: every block contributes its true top-min(k, block)
+    candidates and the merge is a global top-k, so no distribution
+    assumption is needed (unlike the k' < k Pallas path).
+    """
+    B, D = queries.shape
+    N = d_values.shape[0]
+    q = queries.astype(jnp.float32)
+    bs = min(block_rows, N)
+    nb = N // bs
+    main = nb * bs
+    kb = min(k, bs)
+
+    def body(carry, inp):
+        v, s, off = inp
+        docs = v.astype(jnp.float32) * s[:, None]  # one slab, freed per iter
+        sc = jax.lax.dot_general(
+            q, docs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, bs)
+        bv, bi = jax.lax.top_k(sc, kb)
+        return carry, (bv, bi + off)
+
+    offs = jnp.arange(nb, dtype=jnp.int32) * bs
+    _, (cv, ci) = jax.lax.scan(
+        body, 0,
+        (d_values[:main].reshape(nb, bs, D),
+         d_scales[:main].reshape(nb, bs), offs),
+    )
+    cand_v = [jnp.moveaxis(cv, 0, 1).reshape(B, nb * kb)]
+    cand_i = [jnp.moveaxis(ci, 0, 1).reshape(B, nb * kb)]
+    if main < N:  # ragged tail: one direct (small) slab
+        tail = d_values[main:].astype(jnp.float32) * d_scales[main:][:, None]
+        sc = jax.lax.dot_general(
+            q, tail,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tv, ti = jax.lax.top_k(sc, min(k, N - main))
+        cand_v.append(tv)
+        cand_i.append(ti + main)
+    v, pos = jax.lax.top_k(jnp.concatenate(cand_v, axis=1), k)
+    return v, jnp.take_along_axis(jnp.concatenate(cand_i, axis=1), pos, axis=1)
+
+
 def mips_topk_exact(queries, docs, k):
     """XLA reference path: full einsum + exact top_k."""
     scores = jnp.einsum(

