@@ -416,16 +416,43 @@ def attention(
             fused_self_attention,
         )
 
-        # no multi-device sharding rule exists for the pallas_call yet:
-        # under a >1-device mesh GSPMD would either fail to partition it
-        # or silently force replication — fail loudly like the repo's
-        # other knob misconfigurations until a shard_map wrapper lands.
-        # (flash_v3_interpret runs lower as plain per-device compute in
-        # tests' single-device jits, so it is exempt.)
-        if jax.device_count() > 1 and not cfg.flash_v3_interpret:
+        # Multi-device: the pallas_call has no GSPMD partitioning rule, so
+        # under a mesh the kernel runs per-device inside shard_map — batch
+        # rows split over the combined ("data", "seq") axes (the
+        # constrain_rows convention), weights/bias replicated per device.
+        # flash_v3 + tensor parallelism is rejected loudly: the fused
+        # block kernel needs the FULL attention weights resident per
+        # device, which would force an all-gather of the model-sharded
+        # weights every layer.
+        from pacednegatives_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            SEQ_AXIS,
+            current_mesh,
+        )
+
+        mesh = current_mesh()
+        v3_shards = 1
+        if mesh is not None:
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                raise ValueError(
+                    "flash_v3 does not compose with tensor (model-axis) "
+                    "parallelism — the fused block kernel keeps the full "
+                    "attention weights per device; set model=1 or disable "
+                    "flash_v3."
+                )
+            v3_shards = (mesh.shape.get(DATA_AXIS, 1)
+                         * mesh.shape.get(SEQ_AXIS, 1))
+        elif jax.device_count() > 1 and not cfg.flash_v3_interpret:
+            # >1 device but no mesh context: GSPMD would either fail to
+            # partition the pallas_call or silently replicate it — fail
+            # loudly like the repo's other knob misconfigurations.
+            # (flash_v3_interpret runs lower as plain per-device compute
+            # in tests' single-device jits, so it is exempt.)
             raise ValueError(
-                "flash_v3 has no multi-device partitioning rule; disable "
-                "flash_v3 under a >1-device mesh (or wrap in shard_map)."
+                "flash_v3 on >1 device requires a `with mesh:` context "
+                "(the shard_map wrapper needs the mesh); or disable "
+                "flash_v3."
             )
         shared, per_batch = bias
         # the kernel consumes one (H, Lq, Lk) position-bias table shared
@@ -460,9 +487,32 @@ def attention(
                 if per_batch is not None
                 else jnp.zeros((B, Lk), jnp.float32)
             )
+            v3_interpret = True if cfg.flash_v3_interpret else None
+            if v3_shards > 1:
+                if B % v3_shards:
+                    raise ValueError(
+                        f"flash_v3 shard_map: batch rows ({B}) must divide "
+                        f"the data*seq shard count ({v3_shards})"
+                    )
+                import functools as _ft
+
+                from jax.sharding import PartitionSpec as _P
+
+                row3 = _P((DATA_AXIS, SEQ_AXIS), None, None)
+                return jax.shard_map(
+                    _ft.partial(fused_self_attention,
+                                interpret=v3_interpret),
+                    mesh=mesh,
+                    in_specs=(row3, _P(), _P(), _P(),
+                              _P((DATA_AXIS, SEQ_AXIS), None)),
+                    out_specs=row3,
+                    # the static VMA checker can't annotate pallas_call
+                    # outputs (same stance as index/dense.py shard_maps)
+                    check_vma=False,
+                )(x, w3, p["o"].astype(dt), pos3, key_mask)
             return fused_self_attention(
                 x, w3, p["o"].astype(dt), pos3, key_mask,
-                interpret=True if cfg.flash_v3_interpret else None,
+                interpret=v3_interpret,
             )
         if Lq == Lk and Lq >= 64:
             import warnings

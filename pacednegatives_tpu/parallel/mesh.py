@@ -74,6 +74,27 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
+def current_mesh() -> Mesh | None:
+    """The ambient mesh from a ``with mesh:`` context, or None outside one.
+
+    The repo convention is the legacy context-manager mesh (every entry
+    point and __graft_entry__ use ``with mesh:``), whose trace-time
+    accessor still lives in pxla.thread_resources; kept behind this single
+    helper so call sites (e.g. models/t5.py's flash_v3 shard_map wrapper)
+    survive the accessor moving again."""
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -246,6 +246,103 @@ def test_full_train_step_interpret():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_full_train_step_shard_map_matches_single_device():
+    """flash_v3 under a dp2 x seq2 mesh (VERDICT r4 item 6): the kernel
+    runs per-device inside shard_map, batch rows split over ("data","seq"),
+    and the step must match the single-device flash_v3 step exactly —
+    GSPMD/shard_map as a pure performance transform (the
+    test_sharding_equivalence contract, now including the pallas path)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pacednegatives_tpu.curriculum import EtaController
+    from pacednegatives_tpu.data import (
+        DeviceCorpus, HashTokenizer, TextCorpus, TokenizedStore, TripletStore,
+    )
+    from pacednegatives_tpu.models import T5Config, init_params
+    from pacednegatives_tpu.parallel import MeshConfig, create_mesh
+    from pacednegatives_tpu.train import (
+        init_train_state, make_fused_step, make_optimizer, make_train_step,
+    )
+
+    tok = HashTokenizer(vocab_size=256)
+    corpus = TextCorpus.synthetic(num_docs=16, num_queries=8, seed=0,
+                                  doc_len=60, query_len=8)
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=12,
+                                 max_d_tokens=48)
+    triples = TripletStore.synthetic(corpus, n_pairs=8, n_neg=4, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    cfg = dataclasses.replace(
+        T5Config.tiny(vocab_size=256), d_kv=64,
+        flash_v3=True, fused_qkv=True, flash_v3_interpret=True,
+    )
+    params0 = init_params(jax.random.key(0), cfg)
+
+    def build_fused(negative_parallel):
+        # the row constraint needs a mesh context, so the single-device
+        # arm builds without it (pure perf transform either way)
+        ctrl = EtaController(eta0=2.0, meta_lr=0.01, warmup_steps=1,
+                             total_steps=8)
+        tx = make_optimizer(lr=1e-2, total_steps=8)
+        # batch 8 pairs, mb=2, n=2 -> per-microbatch attention rows are
+        # 4 (pos) and 8 (neg), both divisible by the 4 data*seq shards
+        step = make_train_step(cfg, ctrl, tx, loss="lce",
+                               n_neg_per_example=2, rel_id=tok.true_id,
+                               nrel_id=tok.false_id, microbatches=2)
+        fused = make_fused_step(dc, step, ctrl, loss="lce",
+                                n_neg_per_example=2,
+                                negative_parallel=negative_parallel)
+        return ctrl, tx, fused
+
+    pair_idx = jnp.arange(8, dtype=jnp.int32) % dc.num_pairs
+
+    ctrl, tx, fused = build_fused(False)
+    state = init_train_state(
+        jax.tree_util.tree_map(jnp.copy, params0), tx, ctrl.init())
+    state1, m1 = jax.jit(fused)(state, pair_idx)
+
+    mesh = create_mesh(MeshConfig(data=2, seq=2, model=1),
+                       devices=jax.devices()[:4])
+    ctrl, tx, fused = build_fused(True)
+    state = init_train_state(
+        jax.tree_util.tree_map(jnp.copy, params0), tx, ctrl.init())
+    state = state._replace(
+        params=jax.device_put(state.params, NamedSharding(mesh, P())))
+    idx_sh = jax.device_put(pair_idx, NamedSharding(mesh, P(("data", "seq"))))
+    with mesh:
+        state4, m4 = jax.jit(fused)(state, idx_sh)
+
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_flash_v3_rejects_tensor_parallel_mesh():
+    """model-axis > 1 must be rejected loudly (the kernel would force an
+    all-gather of the sharded attention weights every layer)."""
+    import dataclasses
+
+    from pacednegatives_tpu.models import T5Config, init_params, t5
+    from pacednegatives_tpu.parallel import MeshConfig, create_mesh
+
+    cfg = dataclasses.replace(
+        T5Config.tiny(vocab_size=256), d_kv=64,
+        flash_v3=True, fused_qkv=True, flash_v3_interpret=True,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    ids = jnp.ones((4, 64), jnp.int32)
+    labels = jnp.ones((4, 2), jnp.int32)
+    with mesh:
+        with pytest.raises(ValueError, match="tensor"):
+            jax.jit(lambda p, i, l: t5.forward_logits(p, cfg, i, l))(
+                params, ids, labels)
+
+
 def test_fused_qkv_param_wiring():
     """With pre-fused params (the production hoist), the v3 branch consumes
     p['qkv'] directly and grads split back losslessly."""
