@@ -136,9 +136,19 @@ class DenseIndex:
                     v, i = mips_topk_pallas_quantized(
                         q, docs, scales, k_local, **kw
                     )
+                elif method == "exact":
+                    # streaming shard-local dequantize: O(slab) transient
+                    # (a full shard copy is ~2.3 GB at 8.8M docs / 8 shards)
+                    from pacednegatives_tpu.ops.mips import (
+                        mips_topk_quantized_streaming,
+                    )
+
+                    v, i = mips_topk_quantized_streaming(
+                        q, docs, scales, k_local
+                    )
                 else:
-                    # shard-local dequantization: transient fp32 copy of ONE
-                    # shard, never the whole index
+                    # approx path materializes (B, shard_n) scores anyway;
+                    # the shard-local fp32 copy is the lesser term there
                     v, i = _topk(
                         method, q,
                         docs.astype(jnp.float32) * scales[:, None],
