@@ -117,14 +117,26 @@ def main():
         return score_batch_int8(qp, cfg, ids, mask,
                                 rel_id=tok.true_id, nrel_id=tok.false_id)
 
-    t0 = time.perf_counter()
-    s_bf = np.asarray(score_bf16(state.params, q_rows, d_rows),
-                      np.float64).reshape(B, C)
-    log(f"bf16 scoring (incl compile): {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    s_i8 = np.asarray(score_int8(state.params, q_rows, d_rows),
-                      np.float64).reshape(B, C)
-    log(f"int8 scoring (incl compile): {time.perf_counter() - t0:.0f}s")
+    # Score in fixed-size row chunks: B*C rows of L=188 through t5-base in
+    # one call OOMs a 16 GB chip (attention scores alone are ~20 GB at
+    # 4096 rows); constant chunk shape = one compile, host-level loop.
+    rows = B * C
+    chunk_rows = min(int(os.environ.get("PROBE_CHUNK", "512")), rows)
+    while rows % chunk_rows:
+        chunk_rows -= 1
+
+    def scored(fn, name):
+        t0 = time.perf_counter()
+        out = np.concatenate([
+            np.asarray(fn(state.params, q_rows[i:i + chunk_rows],
+                          d_rows[i:i + chunk_rows]), np.float64)
+            for i in range(0, rows, chunk_rows)
+        ])
+        log(f"{name} scoring (incl compile): {time.perf_counter() - t0:.0f}s")
+        return out.reshape(B, C)
+
+    s_bf = scored(score_bf16, "bf16")
+    s_i8 = scored(score_int8, "int8")
 
     # --- rank-level fidelity, per query row
     import scipy.stats
