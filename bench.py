@@ -145,6 +145,8 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
             rel_id=tok.true_id, nrel_id=tok.false_id, model_cfg=cfg,
             # "int8": W8A8 dynamic scoring on the MXU's 2x int8 path
             score_dtype=os.environ.get("BENCH_SCORE_DTYPE", "compute"),
+            # rows per scoring forward (B*C rows in one call OOMs at C=256)
+            score_chunk_rows=int(os.environ.get("BENCH_SCORE_CHUNK", "1024")),
         )
     else:
         fused = make_fused_step(dc, step, ctrl, loss="lce",

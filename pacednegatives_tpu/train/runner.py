@@ -123,6 +123,9 @@ class RunConfig:
     # "compute" (bf16) | "int8" (W8A8 dynamic, models/quant.py — 2x MXU
     # peak for the scoring pass; rank fidelity tested)
     scored_pool_dtype: str = "compute"
+    # rows per scored-pool scoring forward (chunked under lax.map so a big
+    # B*C never outgrows HBM in one call; 1024 L=188 rows fits a 16GB v5e)
+    scored_pool_chunk: int = 1024
     pool_size: int = 64
     refresh_every: int = 200
     encode_batch: int = 128
@@ -599,6 +602,7 @@ def run(cfg: RunConfig) -> dict:
                     dc, step, controller, mcfg, n_neg_per_example=n,
                     candidates=cfg.scored_pool, rel_id=tok.true_id,
                     nrel_id=tok.false_id, score_dtype=cfg.scored_pool_dtype,
+                    score_chunk_rows=cfg.scored_pool_chunk,
                 )
             else:
                 fused = make_fused_step(

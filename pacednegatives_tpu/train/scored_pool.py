@@ -101,6 +101,11 @@ def make_scored_pool_step(
     # part that most wants the negative-parallel axis (same convention as
     # train.step.make_fused_step)
     negative_parallel: bool = False,
+    # upper bound on rows per scoring forward: B*C rows in one call OOMs
+    # once B*C*L activations outgrow HBM (measured: 4096 L=188 rows at
+    # t5-base kills a 16 GB v5e; 1024 fits). Chunks run under lax.map —
+    # one compiled body, constant shapes, O(chunk) activation memory.
+    score_chunk_rows: int = 1024,
 ):
     """Build fused(state, pair_idx[, corpus]) -> (state, metrics) with
     model-scored candidate pools (see module docstring).
@@ -132,24 +137,45 @@ def make_scored_pool_step(
         pos_d = corpus.pos_rows[pair_idx]
         cand_d = corpus.pools[pair_idx][:, jnp.asarray(slots_np)]  # (B, C)
 
-        # --- no-grad candidate scoring (the lever): one fused forward over
-        # (B*C, L) rows. stop_gradient is structural (scores only pick
-        # integer indices) but keeps the intent explicit.
+        # --- no-grad candidate scoring (the lever): a fused forward over
+        # (B*C, L) rows, chunked to score_chunk_rows rows per call (lax.map
+        # keeps it one compiled body). stop_gradient is structural (scores
+        # only pick integer indices) but keeps the intent explicit.
         ids, mask = corpus.assemble(jnp.repeat(q, C), cand_d.reshape(-1))
-        if negative_parallel:
-            ids, mask = _row_constrain(ids), _row_constrain(mask)
         if score_dtype == "int8":
             from pacednegatives_tpu.models.quant import (
                 quantize_scoring_params,
                 score_batch_int8,
             )
 
+            # quantize the live params ONCE per step, outside the chunk loop
             qp = quantize_scoring_params(state.params, model_cfg)
-            raw = score_batch_int8(qp, model_cfg, ids, mask,
-                                   rel_id=rel_id, nrel_id=nrel_id)
+            score_fn = lambda i, m: score_batch_int8(
+                qp, model_cfg, i, m, rel_id=rel_id, nrel_id=nrel_id)
         else:
-            raw = score_batch(state.params, model_cfg, ids, mask,
-                              rel_id=rel_id, nrel_id=nrel_id)
+            score_fn = lambda i, m: score_batch(
+                state.params, model_cfg, i, m, rel_id=rel_id, nrel_id=nrel_id)
+
+        rows = B * C
+        chunk = min(int(score_chunk_rows), rows)
+        while rows % chunk:  # constant chunk shape => one compile
+            chunk -= 1
+
+        def score_chunk(im):
+            i, m = im
+            if negative_parallel:
+                i, m = _row_constrain(i), _row_constrain(m)
+            return score_fn(i, m)
+
+        if chunk == rows:
+            if negative_parallel:
+                ids, mask = _row_constrain(ids), _row_constrain(mask)
+            raw = score_fn(ids, mask)
+        else:
+            raw = jax.lax.map(score_chunk, (
+                ids.reshape(rows // chunk, chunk, -1),
+                mask.reshape(rows // chunk, chunk, -1),
+            )).reshape(-1)
         scores = jax.lax.stop_gradient(raw).reshape(B, C)
 
         # easiest (lowest relevance) -> hardest (highest), per pair

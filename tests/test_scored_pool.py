@@ -277,3 +277,42 @@ def test_candidate_count_validation():
         make_scored_pool_step(dc, step, ctrl, cfg, n_neg_per_example=4,
                               candidates=2, rel_id=tok.true_id,
                               nrel_id=tok.false_id)
+
+
+def test_score_chunking_matches_single_call():
+    """score_chunk_rows bounds the scoring pass's activation memory (B*C
+    rows in one forward OOMs a real chip at C=256) without changing the
+    math: the chunked lax.map pass must reproduce the single-call step
+    exactly — same selection, same loss, same metrics."""
+    cfg, tok, dc, params = _setup()
+    ctrl = InterpController(start=0.7, end=0.7, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    mk = lambda chunk: make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+        rel_id=tok.true_id, nrel_id=tok.false_id, score_chunk_rows=chunk,
+    )
+    pair_idx = jnp.arange(4, dtype=jnp.int32)
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_one, m_one = jax.jit(mk(4 * 8))(state0, pair_idx)     # single call
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_chk, m_chk = jax.jit(mk(8))(state0, pair_idx)         # 4 chunks
+    np.testing.assert_allclose(float(m_one["loss"]), float(m_chk["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m_one["pool_score_spread"]), float(m_chk["pool_score_spread"]),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m_one["neg_rank_static"]), float(m_chk["neg_rank_static"]),
+        rtol=1e-6)
+    # a non-divisor chunk size rounds down to a divisor and still matches
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_odd, m_odd = jax.jit(mk(7))(state0, pair_idx)
+    np.testing.assert_allclose(float(m_one["loss"]), float(m_odd["loss"]),
+                               rtol=1e-6)
+    # params after the step agree (selection identical => same train batch)
+    a = jax.tree_util.tree_leaves(s_one.params)
+    b = jax.tree_util.tree_leaves(s_chk.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
