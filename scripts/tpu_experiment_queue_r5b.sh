@@ -6,6 +6,9 @@
 #     point for scored64i8_188, so the north-star table needs it.
 #   - int8_fidelity: first attempt OOMed (4096 L=188 rows through t5-base
 #     in one scoring call); the probe now chunks (PROBE_CHUNK=512).
+#   - scored256_188 / scored256i8_188: same OOM inside the step's scoring
+#     pass; train/scored_pool.py now chunks it (BENCH_SCORE_CHUNK=1024).
+#   - scored128 arms: fill in the C curve for docs/north_star.md §2.
 # Same record/commit contract as tpu_experiment_queue_r5.sh.
 set -u
 cd "$(dirname "$0")/.."
@@ -92,5 +95,9 @@ L188="BENCH_REMAT=0 BENCH_ATTN=chunked BENCH_ATTN_CHUNK=192 BENCH_MICROBATCH=4 B
 
 run scored64_188 1800 fused $L188 BENCH_SCORED_POOL=64
 run_probe int8_fidelity 2400 $L188
+run scored256_188   2400 fused $L188 BENCH_SCORED_POOL=256 BENCH_POOL=1000
+run scored256i8_188 2400 fused $L188 BENCH_SCORED_POOL=256 BENCH_POOL=1000 BENCH_SCORE_DTYPE=int8
+run scored128_188   2400 fused $L188 BENCH_SCORED_POOL=128 BENCH_POOL=1000
+run scored128i8_188 2400 fused $L188 BENCH_SCORED_POOL=128 BENCH_POOL=1000 BENCH_SCORE_DTYPE=int8
 
 echo "[queue-r5b] done at $(date -u +%H:%M:%S)" >&2
