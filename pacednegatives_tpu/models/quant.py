@@ -57,11 +57,13 @@ def _quantize_weight(w: jax.Array) -> dict:
     return {"w": q, "s": s}
 
 
-def int8_linear(x: jax.Array, qw: dict) -> jax.Array:
-    """Dynamic per-token activation quant + int8 MXU matmul, fp32 out.
+def int8_linear(x: jax.Array, qw: dict, out_dtype=jnp.float32) -> jax.Array:
+    """Dynamic per-token activation quant + int8 MXU matmul.
 
     x (..., d) any float; qw from _quantize_weight. The int32 accumulator
-    is exact; the only rounding is the two int8 quantizations.
+    is exact; the only rounding is the two int8 quantizations (plus the
+    out_dtype cast — bf16 out halves the inter-layer HBM traffic and
+    leaves ranks intact; the scale multiply happens in fp32 either way).
     """
     xf = x.astype(jnp.float32)
     sx = jnp.maximum(
@@ -73,7 +75,7 @@ def int8_linear(x: jax.Array, qw: dict) -> jax.Array:
         dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return acc.astype(jnp.float32) * sx * qw["s"]
+    return (acc.astype(jnp.float32) * sx * qw["s"]).astype(out_dtype)
 
 
 def _layer_blocks(stack: dict, n: int) -> list:
@@ -137,8 +139,8 @@ def quantize_scoring_params(params, cfg: t5.T5Config) -> dict:
     return q
 
 
-def _proj_qkv(qp: dict, x_q, x_kv, H: int, dk: int):
-    """int8 q/k/v projections -> (B, L, H, dk) fp32 each."""
+def _proj_qkv(qp: dict, x_q, x_kv, H: int, dk: int, sd=jnp.float32):
+    """int8 q/k/v projections -> (B, L, H, dk) in stream dtype sd each."""
     inner = H * dk
 
     def heads(y, L):
@@ -147,27 +149,27 @@ def _proj_qkv(qp: dict, x_q, x_kv, H: int, dk: int):
     col = lambda q, lo, hi: {"w": q["w"][:, lo:hi], "s": q["s"][:, lo:hi]}
     if "qkv" in qp:
         # fused self-attn layout (t5.fuse_attention_params): [q | k | v]
-        yq = int8_linear(x_q, col(qp["qkv"], 0, inner))
-        yk = int8_linear(x_kv, col(qp["qkv"], inner, 2 * inner))
-        yv = int8_linear(x_kv, col(qp["qkv"], 2 * inner, 3 * inner))
+        yq = int8_linear(x_q, col(qp["qkv"], 0, inner), sd)
+        yk = int8_linear(x_kv, col(qp["qkv"], inner, 2 * inner), sd)
+        yv = int8_linear(x_kv, col(qp["qkv"], 2 * inner, 3 * inner), sd)
     elif "kv" in qp:
         # fused cross-attn layout: separate q, [k | v]
-        yq = int8_linear(x_q, qp["q"])
-        yk = int8_linear(x_kv, col(qp["kv"], 0, inner))
-        yv = int8_linear(x_kv, col(qp["kv"], inner, 2 * inner))
+        yq = int8_linear(x_q, qp["q"], sd)
+        yk = int8_linear(x_kv, col(qp["kv"], 0, inner), sd)
+        yv = int8_linear(x_kv, col(qp["kv"], inner, 2 * inner), sd)
     else:
-        yq = int8_linear(x_q, qp["q"])
-        yk = int8_linear(x_kv, qp["k"])
-        yv = int8_linear(x_kv, qp["v"])
+        yq = int8_linear(x_q, qp["q"], sd)
+        yk = int8_linear(x_kv, qp["k"], sd)
+        yv = int8_linear(x_kv, qp["v"], sd)
     return (heads(yq, x_q.shape[1]), heads(yk, x_kv.shape[1]),
             heads(yv, x_kv.shape[1]))
 
 
-def _attention_int8(qp, x_q, x_kv, bias, cfg: t5.T5Config):
+def _attention_int8(qp, x_q, x_kv, bias, cfg: t5.T5Config, sd=jnp.float32):
     """T5 attention (unscaled scores + additive bias) with int8
     projections; the score/AV GEMMs run bf16 (<1% of FLOPs)."""
     H, dk = cfg.num_heads, cfg.d_kv
-    q, k, v = _proj_qkv(qp, x_q, x_kv, H, dk)
+    q, k, v = _proj_qkv(qp, x_q, x_kv, H, dk, sd)
     s = jnp.einsum(
         "bqhd,bkhd->bhqk", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
@@ -178,16 +180,16 @@ def _attention_int8(qp, x_q, x_kv, bias, cfg: t5.T5Config):
         "bhqk,bkhd->bqhd", p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    return int8_linear(o.reshape(o.shape[0], o.shape[1], H * dk), qp["o"])
+    return int8_linear(o.reshape(o.shape[0], o.shape[1], H * dk), qp["o"], sd)
 
 
-def _mlp_int8(qp, cfg: t5.T5Config, x):
+def _mlp_int8(qp, cfg: t5.T5Config, x, sd=jnp.float32):
     if cfg.gated_ffn:
-        h = jax.nn.gelu(int8_linear(x, qp["wi_0"]), approximate=True) \
-            * int8_linear(x, qp["wi_1"])
+        h = jax.nn.gelu(int8_linear(x, qp["wi_0"], sd), approximate=True) \
+            * int8_linear(x, qp["wi_1"], sd)
     else:
-        h = jax.nn.relu(int8_linear(x, qp["wi"]))
-    return int8_linear(h, qp["wo"])
+        h = jax.nn.relu(int8_linear(x, qp["wi"], sd))
+    return int8_linear(h, qp["wo"], sd)
 
 
 def score_batch_int8(
@@ -197,6 +199,11 @@ def score_batch_int8(
     attention_mask: jax.Array | None = None,
     rel_id: int = VERBALIZER_TRUE,
     nrel_id: int = VERBALIZER_FALSE,
+    # dtype of the inter-layer residual stream / activations. fp32 is the
+    # original conservative choice; bf16 halves the forward's HBM traffic
+    # (quantization scales and norms stay fp32 either way) — the rank
+    # fidelity of both is pinned in tests/test_quant.py.
+    stream_dtype=jnp.float32,
 ) -> jax.Array:
     """(B, L) prompts -> (B,) log P(true | {true, false}); int8 compute.
 
@@ -209,9 +216,10 @@ def score_batch_int8(
     B, L = input_ids.shape
     eps = cfg.layer_norm_epsilon
     f32 = jnp.float32
+    sd = stream_dtype
 
     emb = qparams["shared"]["embedding"].astype(f32)
-    x = emb[input_ids]
+    x = emb[input_ids].astype(sd)
 
     pos = t5.compute_position_bias(
         qparams["enc_rel_bias"], L, L, True,
@@ -221,31 +229,32 @@ def score_batch_int8(
     bias = pos + t5._padding_bias(attention_mask)
 
     for blk in qparams["enc_blocks"]:
-        h = t5.rms_norm(x, blk["ln_self"]["scale"], eps, f32)
-        x = x + _attention_int8(blk["self_attn"], h, h, bias, cfg)
-        h = t5.rms_norm(x, blk["ln_mlp"]["scale"], eps, f32)
-        x = x + _mlp_int8(blk["mlp"], cfg, h)
-    enc_h = t5.rms_norm(x, qparams["enc_final_ln"]["scale"], eps, f32)
+        h = t5.rms_norm(x, blk["ln_self"]["scale"], eps, sd)
+        x = x + _attention_int8(blk["self_attn"], h, h, bias, cfg, sd)
+        h = t5.rms_norm(x, blk["ln_mlp"]["scale"], eps, sd)
+        x = x + _mlp_int8(blk["mlp"], cfg, h, sd)
+    enc_h = t5.rms_norm(x, qparams["enc_final_ln"]["scale"], eps, sd)
 
     # --- one decoder step at position 0 -----------------------------------
-    d = emb[jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)]
+    d = emb[jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)].astype(sd)
     cross_bias = t5._padding_bias(attention_mask)
     for blk in qparams["dec_blocks"]:
         # self-attention over a single position: softmax over one key is 1
         # regardless of bias, so attn(x) == o_proj(v_proj(x)) exactly
-        h = t5.rms_norm(d, blk["ln_self"]["scale"], eps, f32)
+        h = t5.rms_norm(d, blk["ln_self"]["scale"], eps, sd)
         sa = blk["self_attn"]
         if "qkv" in sa:
             inner = cfg.num_heads * cfg.d_kv
             v = int8_linear(h, {"w": sa["qkv"]["w"][:, 2 * inner:],
-                                "s": sa["qkv"]["s"][:, 2 * inner:]})
+                                "s": sa["qkv"]["s"][:, 2 * inner:]}, sd)
         else:
-            v = int8_linear(h, sa["v"])
-        d = d + int8_linear(v, sa["o"])
-        h = t5.rms_norm(d, blk["ln_cross"]["scale"], eps, f32)
-        d = d + _attention_int8(blk["cross_attn"], h, enc_h, cross_bias, cfg)
-        h = t5.rms_norm(d, blk["ln_mlp"]["scale"], eps, f32)
-        d = d + _mlp_int8(blk["mlp"], cfg, h)
+            v = int8_linear(h, sa["v"], sd)
+        d = d + int8_linear(v, sa["o"], sd)
+        h = t5.rms_norm(d, blk["ln_cross"]["scale"], eps, sd)
+        d = d + _attention_int8(blk["cross_attn"], h, enc_h, cross_bias, cfg,
+                                sd)
+        h = t5.rms_norm(d, blk["ln_mlp"]["scale"], eps, sd)
+        d = d + _mlp_int8(blk["mlp"], cfg, h, sd)
     d = t5.rms_norm(d, qparams["dec_final_ln"]["scale"], eps, f32)
 
     # 2-row verbalizer head: log-softmax is over the {true, false} pair

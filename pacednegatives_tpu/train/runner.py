@@ -458,9 +458,9 @@ def run(cfg: RunConfig) -> dict:
             "scored_pool only applies to static pools (mining='static'); "
             "online mining already builds fresh per-step pools"
         )
-    if cfg.scored_pool_dtype not in ("compute", "int8"):
+    if cfg.scored_pool_dtype not in ("compute", "int8", "int8_bf16"):
         raise ValueError(
-            f"scored_pool_dtype must be 'compute' or 'int8', "
+            f"scored_pool_dtype must be 'compute', 'int8' or 'int8_bf16', "
             f"got {cfg.scored_pool_dtype!r}"
         )
 

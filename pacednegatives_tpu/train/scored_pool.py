@@ -94,6 +94,8 @@ def make_scored_pool_step(
     # and runs the candidate forward on the MXU's 2x int8 path; rank
     # fidelity pinned in tests/test_quant.py. The lever that clears the
     # >=10x north star (docs/north_star.md §2).
+    # "int8_bf16": same, with the inter-layer residual stream in bf16
+    # instead of fp32 — halves the scoring pass's activation HBM traffic.
     score_dtype: str = "compute",
     # shard the (B*C, L) candidate-scoring rows and the assembled train
     # batch over the combined ("data", "seq") mesh axes — the scoring pass
@@ -119,9 +121,10 @@ def make_scored_pool_step(
         raise ValueError(
             f"candidates ({candidates}) must be >= n_neg_per_example ({n})"
         )
-    if score_dtype not in ("compute", "int8"):
+    if score_dtype not in ("compute", "int8", "int8_bf16"):
         raise ValueError(
-            f"score_dtype must be 'compute' or 'int8', got {score_dtype!r}"
+            f"score_dtype must be 'compute', 'int8' or 'int8_bf16', "
+            f"got {score_dtype!r}"
         )
     default_corpus = corpus
     slots_np = balanced_slots(int(corpus.n_neg), candidates)
@@ -142,16 +145,18 @@ def make_scored_pool_step(
         # keeps it one compiled body). stop_gradient is structural (scores
         # only pick integer indices) but keeps the intent explicit.
         ids, mask = corpus.assemble(jnp.repeat(q, C), cand_d.reshape(-1))
-        if score_dtype == "int8":
+        if score_dtype in ("int8", "int8_bf16"):
             from pacednegatives_tpu.models.quant import (
                 quantize_scoring_params,
                 score_batch_int8,
             )
 
+            sd = jnp.bfloat16 if score_dtype == "int8_bf16" else jnp.float32
             # quantize the live params ONCE per step, outside the chunk loop
             qp = quantize_scoring_params(state.params, model_cfg)
             score_fn = lambda i, m: score_batch_int8(
-                qp, model_cfg, i, m, rel_id=rel_id, nrel_id=nrel_id)
+                qp, model_cfg, i, m, rel_id=rel_id, nrel_id=nrel_id,
+                stream_dtype=sd)
         else:
             score_fn = lambda i, m: score_batch(
                 state.params, model_cfg, i, m, rel_id=rel_id, nrel_id=nrel_id)

@@ -117,6 +117,14 @@ def main():
         return score_batch_int8(qp, cfg, ids, mask,
                                 rel_id=tok.true_id, nrel_id=tok.false_id)
 
+    @jax.jit
+    def score_int8_bf16(params, q_rows, d_rows):
+        ids, mask = dc.assemble(q_rows, d_rows)
+        qp = quantize_scoring_params(params, cfg)
+        return score_batch_int8(qp, cfg, ids, mask,
+                                rel_id=tok.true_id, nrel_id=tok.false_id,
+                                stream_dtype=jnp.bfloat16)
+
     # Score in fixed-size row chunks: B*C rows of L=188 through t5-base in
     # one call OOMs a 16 GB chip (attention scores alone are ~20 GB at
     # 4096 rows); constant chunk shape = one compile, host-level loop.
@@ -137,30 +145,37 @@ def main():
 
     s_bf = scored(score_bf16, "bf16")
     s_i8 = scored(score_int8, "int8")
+    s_i8b = scored(score_int8_bf16, "int8_bf16stream")
 
     # --- rank-level fidelity, per query row
     import scipy.stats
 
-    rho = np.array([
-        scipy.stats.spearmanr(s_bf[b], s_i8[b]).statistic for b in range(B)
-    ])
-
-    def topk_overlap(k):
-        k = min(k, C)
-        o = [
-            len(np.intersect1d(np.argsort(s_bf[b])[-k:],
-                               np.argsort(s_i8[b])[-k:])) / k
+    def fidelity(s_q):
+        rho = np.array([
+            scipy.stats.spearmanr(s_bf[b], s_q[b]).statistic
             for b in range(B)
-        ]
-        return float(np.mean(o))
+        ])
 
-    # pairwise order agreement over all C*(C-1)/2 pairs per query
-    iu = np.triu_indices(C, k=1)
-    flips = np.array([
-        np.mean(np.sign(s_bf[b][:, None] - s_bf[b][None, :])[iu]
-                != np.sign(s_i8[b][:, None] - s_i8[b][None, :])[iu])
-        for b in range(B)
-    ])
+        def topk_overlap(k):
+            k = min(k, C)
+            o = [
+                len(np.intersect1d(np.argsort(s_bf[b])[-k:],
+                                   np.argsort(s_q[b])[-k:])) / k
+                for b in range(B)
+            ]
+            return float(np.mean(o))
+
+        # pairwise order agreement over all C*(C-1)/2 pairs per query
+        iu = np.triu_indices(C, k=1)
+        flips = np.array([
+            np.mean(np.sign(s_bf[b][:, None] - s_bf[b][None, :])[iu]
+                    != np.sign(s_q[b][:, None] - s_q[b][None, :])[iu])
+            for b in range(B)
+        ])
+        return rho, topk_overlap, flips
+
+    rho, topk_overlap, flips = fidelity(s_i8)
+    rho_b, topk_b, flips_b = fidelity(s_i8b)
 
     rec = {
         "probe": "int8_fidelity",
@@ -178,6 +193,15 @@ def main():
         "pair_flip_rate": round(float(flips.mean()), 5),
         "mean_abs_delta": round(float(np.abs(s_bf - s_i8).mean()), 5),
         "bf16_score_spread": round(float((s_bf.max(1) - s_bf.min(1)).mean()), 4),
+        # the bf16-residual-stream variant (stream_dtype=bf16): same
+        # contract vs the same bf16 reference scores
+        "bf16stream_spearman_mean": round(float(rho_b.mean()), 4),
+        "bf16stream_spearman_min": round(float(rho_b.min()), 4),
+        "bf16stream_top8_overlap": round(topk_b(8), 4),
+        "bf16stream_top32_overlap": round(topk_b(32), 4),
+        "bf16stream_pair_flip_rate": round(float(flips_b.mean()), 5),
+        "bf16stream_mean_abs_delta": round(float(np.abs(s_bf - s_i8b).mean()),
+                                           5),
         "wall_s": round(time.perf_counter() - t_all, 1),
     }
     print(json.dumps(rec), flush=True)

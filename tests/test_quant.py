@@ -128,3 +128,54 @@ def test_scored_pool_step_with_int8_scoring():
             dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
             rel_id=tok.true_id, nrel_id=tok.false_id, score_dtype="fp8",
         )
+
+
+def test_bf16_stream_rank_fidelity():
+    """stream_dtype=bf16 (the HBM-traffic variant) must preserve the rank
+    contract vs the bf16 scorer, within a slightly wider absolute band
+    (bf16 residual rounding on top of the two int8 quantizations)."""
+    cfg, tok, corpus, store, params = _setup()
+    q = np.zeros(32, np.int32)
+    d = np.arange(32, dtype=np.int32)
+    ids, mask = store.assemble_host(q, d)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    sb = np.asarray(score_batch(params, cfg, ids, mask,
+                                rel_id=tok.true_id, nrel_id=tok.false_id))
+    qp = quantize_scoring_params(params, cfg)
+    si = np.asarray(score_batch_int8(qp, cfg, ids, mask,
+                                     rel_id=tok.true_id,
+                                     nrel_id=tok.false_id,
+                                     stream_dtype=jnp.bfloat16))
+    assert np.abs(sb - si).max() < 0.05
+    rb, ri = np.argsort(np.argsort(sb)), np.argsort(np.argsort(si))
+    n = len(sb)
+    spearman = 1 - 6 * np.sum((rb - ri) ** 2) / (n * (n**2 - 1))
+    assert spearman > 0.9, spearman
+    top8 = len(set(np.argsort(sb)[-8:]) & set(np.argsort(si)[-8:]))
+    assert top8 >= 6, top8
+
+
+def test_scored_pool_step_with_int8_bf16_scoring():
+    from pacednegatives_tpu.curriculum.interp import InterpController
+    from pacednegatives_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_scored_pool_step,
+        make_train_step,
+    )
+
+    cfg, tok, corpus, store, params = _setup(n_docs=64)
+    triples = TripletStore.synthetic(corpus, n_pairs=6, n_neg=12, seed=1)
+    dc = DeviceCorpus.build(store, triples)
+    ctrl = InterpController(start=0.5, end=0.5, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=4)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    fused = make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+        rel_id=tok.true_id, nrel_id=tok.false_id, score_dtype="int8_bf16",
+    )
+    state = init_train_state(params, tx, ctrl.init())
+    _, m = jax.jit(fused)(state, jnp.arange(4, dtype=jnp.int32))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["neg_scored"]) == 4 * 8 + 4 * 2
