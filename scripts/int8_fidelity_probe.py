@@ -23,7 +23,19 @@ order), so the contract is rank-level:
 Prints ONE JSON line (queue contract: scripts/tpu_experiment_queue_r5.sh
 wraps it with an "exp" key and persists to docs/experiments_r5.jsonl).
 
-Env: PROBE_BATCH (16), PROBE_CANDIDATES (256), PROBE_TRAIN_STEPS (20),
+Candidate construction: rank fidelity is only meaningful where the bf16
+scores have real spread. A random (q, d) candidate set on the synthetic
+corpus is near-uniformly irrelevant — after a short training run the bf16
+spread was measured at 0.0038 log-odds, so every rank metric was
+noise-vs-noise (the r5 queue's first probe record). Candidates are instead
+a relevance MIXTURE per query: the planted on-topic docs (TextCorpus.
+synthetic puts query q's topic words in docs with row % num_queries == q),
+plus random off-topic fill — the regime a live scored-pool pass actually
+discriminates in. `norm_delta` (= mean |Δscore| / mean bf16 spread) is the
+scale-free headline: quant error as a fraction of the signal it must not
+drown.
+
+Env: PROBE_BATCH (16), PROBE_CANDIDATES (256), PROBE_TRAIN_STEPS (100),
 plus the BENCH_* step-config knobs bench.build/bench_fused honor.
 """
 
@@ -47,7 +59,7 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     B = int(os.environ.get("PROBE_BATCH", "16"))
     C = int(os.environ.get("PROBE_CANDIDATES", "256"))
-    train_steps = int(os.environ.get("PROBE_TRAIN_STEPS", "20"))
+    train_steps = int(os.environ.get("PROBE_TRAIN_STEPS", "100"))
     n = int(os.environ.get("BENCH_NEGS", "7"))
 
     log = lambda m: print(f"[probe] {m}", file=sys.stderr, flush=True)
@@ -90,13 +102,23 @@ def main():
     float(np.asarray(m["loss"])[-1])  # fetch-sync (axon pitfall)
     log(f"trained {train_steps} steps in {time.perf_counter() - t0:.0f}s")
 
-    # --- one candidate batch at the scored-pool shapes: B queries x C
-    # random doc rows (rank fidelity needs (q, d) prompt rows, not the
-    # pool machinery)
-    q_rows = jnp.asarray(np.repeat(
-        rng.integers(0, dc.q_tokens.shape[0], size=B), C).astype(np.int32))
-    d_rows = jnp.asarray(
-        rng.integers(0, dc.d_tokens.shape[0], size=B * C).astype(np.int32))
+    # --- one candidate batch at the scored-pool shapes: B queries x C doc
+    # rows, built as a relevance MIXTURE (docstring: random candidates are
+    # uniformly irrelevant and give the rank metrics nothing to rank). The
+    # synthetic corpus plants query q's topic words in docs whose
+    # row % num_queries == q (data/corpus.py TextCorpus.synthetic).
+    nq = dc.q_tokens.shape[0]
+    nd = dc.d_tokens.shape[0]
+    q_idx = rng.integers(0, nq, size=B)
+    cand = np.empty((B, C), np.int32)
+    for b, q in enumerate(q_idx):
+        on_topic = np.arange(q, nd, nq, dtype=np.int64)  # planted relevants
+        fill = rng.integers(0, nd, size=C)
+        row = np.concatenate([on_topic, fill])[:C]
+        rng.shuffle(row)
+        cand[b] = row.astype(np.int32)
+    q_rows = jnp.asarray(np.repeat(q_idx, C).astype(np.int32))
+    d_rows = jnp.asarray(cand.reshape(-1))
 
     from pacednegatives_tpu.models.monot5 import score_batch
     from pacednegatives_tpu.models.quant import (
@@ -193,6 +215,10 @@ def main():
         "pair_flip_rate": round(float(flips.mean()), 5),
         "mean_abs_delta": round(float(np.abs(s_bf - s_i8).mean()), 5),
         "bf16_score_spread": round(float((s_bf.max(1) - s_bf.min(1)).mean()), 4),
+        # quant error as a fraction of the signal (scale-free headline)
+        "norm_delta": round(
+            float(np.abs(s_bf - s_i8).mean()
+                  / max((s_bf.max(1) - s_bf.min(1)).mean(), 1e-9)), 5),
         # the bf16-residual-stream variant (stream_dtype=bf16): same
         # contract vs the same bf16 reference scores
         "bf16stream_spearman_mean": round(float(rho_b.mean()), 4),
@@ -202,6 +228,9 @@ def main():
         "bf16stream_pair_flip_rate": round(float(flips_b.mean()), 5),
         "bf16stream_mean_abs_delta": round(float(np.abs(s_bf - s_i8b).mean()),
                                            5),
+        "bf16stream_norm_delta": round(
+            float(np.abs(s_bf - s_i8b).mean()
+                  / max((s_bf.max(1) - s_bf.min(1)).mean(), 1e-9)), 5),
         "wall_s": round(time.perf_counter() - t_all, 1),
     }
     print(json.dumps(rec), flush=True)
