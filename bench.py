@@ -92,8 +92,30 @@ def build(model_name: str):
     # MARCO passage prompt lengths.
     doc_tokens = int(os.environ.get("BENCH_DOC_TOKENS", "160"))
     tok = HashTokenizer(vocab_size=cfg.vocab_size)
-    corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0,
-                                  doc_len=max(150, doc_tokens - 10), query_len=12)
+    if os.environ.get("BENCH_DOC_LOGNORMAL", "0") == "1":
+        # MS-MARCO-passage-like VARIABLE doc lengths (clipped lognormal,
+        # median ~55 words) against the same max-token budget — the corpus
+        # the rerank packed arm serves. The reference pads every prompt to
+        # the full budget regardless of true length (lceT5.py:40-53), so
+        # the reference-style baseline's cost is unchanged on this corpus
+        # (confirmed by the ref_varlen arm); length-aware paths
+        # (BENCH_SCORE_BUCKETS) only skip pad FLOPs the reference burns.
+        rng_l = np.random.default_rng(7)
+        d_lens = np.clip(
+            rng_l.lognormal(mean=4.0, sigma=0.45, size=2048).astype(int),
+            12, max(150, doc_tokens - 10),
+        )
+        words = [f"w{i}" for i in range(500)]
+        corpus = TextCorpus(
+            [f"d{i}" for i in range(2048)],
+            [" ".join(rng_l.choice(words, size=k)) for k in d_lens],
+            [f"q{i}" for i in range(256)],
+            [" ".join(rng_l.choice(words, size=k))
+             for k in rng_l.integers(4, 12, size=256)],
+        )
+    else:
+        corpus = TextCorpus.synthetic(num_docs=2048, num_queries=256, seed=0,
+                                      doc_len=max(150, doc_tokens - 10), query_len=12)
     store = TokenizedStore.build(corpus, tok, max_q_tokens=24, max_d_tokens=doc_tokens)
     # BENCH_POOL: negative-pool length per pair. Default 100 keeps the
     # compiled-program shapes of rounds 1-4 (warm cache); the reference's
@@ -102,7 +124,12 @@ def build(model_name: str):
     triples = TripletStore.synthetic(
         corpus, n_pairs=1024, n_neg=int(os.environ.get("BENCH_POOL", "100")),
         seed=1)
-    dc = DeviceCorpus.build(store, triples)
+    # BENCH_CORPUS_PACKED=1: front-compacted prompt layout (the reference's
+    # positional geometry — contiguous real tokens, tail pads; required by
+    # BENCH_SCORE_BUCKETS so a [:, :W] slice keeps every real token)
+    dc = DeviceCorpus.build(
+        store, triples,
+        packed=os.environ.get("BENCH_CORPUS_PACKED", "0") == "1")
     params = init_params(jax.random.key(0), cfg)
     return cfg, tok, corpus, store, triples, dc, params
 
@@ -147,6 +174,15 @@ def bench_fused(cfg, tok, dc, params, batch_size, n, steps, chunk):
             score_dtype=os.environ.get("BENCH_SCORE_DTYPE", "compute"),
             # rows per scoring forward (B*C rows in one call OOMs at C=256)
             score_chunk_rows=int(os.environ.get("BENCH_SCORE_CHUNK", "1024")),
+            # BENCH_SCORE_BUCKETS="64,96,128,160": length-bucketed scoring —
+            # sort scoring rows by true length, run each chunk at the
+            # smallest bucket width covering it (exact scores, pad FLOPs
+            # skipped). Needs BENCH_CORPUS_PACKED=1; pays off on a
+            # variable-length corpus (BENCH_DOC_LOGNORMAL=1).
+            score_buckets=tuple(
+                int(x) for x in
+                os.environ.get("BENCH_SCORE_BUCKETS", "").split(",") if x
+            ),
         )
     else:
         fused = make_fused_step(dc, step, ctrl, loss="lce",
@@ -699,6 +735,24 @@ def run_phase(phase: str):
         sp = int(os.environ.get("BENCH_SCORED_POOL", "0"))
         if sp:
             rec["scored_pool_candidates"] = sp
+            bk = os.environ.get("BENCH_SCORE_BUCKETS", "")
+            if bk:
+                # flops_per_step stays the PADDED-equivalent count (what a
+                # pad-everything implementation — the reference — executes
+                # for the same scored work); the bucketed run performs
+                # fewer. neg/s is the headline metric and is unaffected.
+                rec["score_buckets"] = [int(x) for x in bk.split(",") if x]
+                rec["flops_note"] = "padded-equivalent"
+        if os.environ.get("BENCH_DOC_LOGNORMAL", "0") == "1":
+            t = store.template
+            fixed = len(t.prefix) + len(t.mid) + len(t.suffix)
+            rec["corpus"] = "lognormal"
+            rec["mean_true_prompt_len"] = round(float(
+                fixed
+                + (store.q_tokens != store.pad_id).sum(1).mean()
+                + (store.d_tokens != store.pad_id).sum(1).mean()), 1)
+        if os.environ.get("BENCH_CORPUS_PACKED", "0") == "1":
+            rec["corpus_packed"] = True
         if bench_fused.flash_v3_pallas_calls is not None:
             rec["flash_v3_pallas_calls"] = bench_fused.flash_v3_pallas_calls
         print(json.dumps(rec))
@@ -1054,6 +1108,15 @@ def main():
                 # optimizer traffic (7.16 -> 7.30 steps/s); the reference-
                 # style baseline keeps exact fp32 AdamW (parity).
                 "BENCH_OPT_MOMENTS": "factored",
+                # r5 measured winners (docs/experiments_r5.jsonl): bf16
+                # grad-accum carry + bf16 attention residual — 7.468 ->
+                # 7.951 steps/s single-chip A/B (acc_res_188), validated
+                # end-to-end by the full_winners run (888 neg/s, 60.4% MFU,
+                # final_loss 0.6981 vs base 0.6986). Per-phase defaults,
+                # NOT global env: the ref/rerank phases run dense attention,
+                # which has no flash-style residual stage to keep in bf16.
+                "BENCH_GRAD_ACCUM": "bf16",
+                "BENCH_ATTN_RES": "bf16",
                 # headline metric = TRAINED negatives/sec: pin the scored-
                 # pool knob off so a global env can't change its meaning
                 "BENCH_SCORED_POOL": "0",
@@ -1079,6 +1142,17 @@ def main():
                         "BENCH_LONG_MICROBATCH", "8"
                     ),
                     "BENCH_OPT_MOMENTS": "factored",
+                    # r5 measured at L=512 (docs/experiments_r5.jsonl):
+                    # base 2.301 steps/s; flash_v3 alone 2.728 (+18.6%);
+                    # the full stack v3 + fused-QKV + bf16 grad-accum +
+                    # bf16 attn residual is the best measured config at
+                    # 2.812 (+22.2%, v3_acc_res_512) — flipped to default.
+                    # (Standalone attn-res at 512 was neutral, 2.298; it
+                    # only pays stacked on v3's whole-block-VMEM layout.)
+                    "BENCH_FLASH_V3": "1",
+                    "BENCH_FUSED_QKV": "1",
+                    "BENCH_GRAD_ACCUM": "bf16",
+                    "BENCH_ATTN_RES": "bf16",
                     "BENCH_SCORED_POOL": "0",
                 },
                 False,
@@ -1100,6 +1174,8 @@ def main():
                     "BENCH_ATTN_CHUNK": "192",
                     "BENCH_MICROBATCH": "4",
                     "BENCH_OPT_MOMENTS": "factored",
+                    "BENCH_GRAD_ACCUM": "bf16",
+                    "BENCH_ATTN_RES": "bf16",
                 },
                 False,
                 420,
@@ -1178,6 +1254,12 @@ def main():
             if k in ("BENCH_DOC_TOKENS", "BENCH_SCORED_POOL") \
                     or k not in os.environ:
                 env[k] = v
+        # a caller-forced single microbatch has no accumulation carry, so
+        # the bf16-carry phase DEFAULT must yield (an explicit caller
+        # BENCH_GRAD_ACCUM still wins and hits the loud guard in step.py)
+        if env.get("BENCH_MICROBATCH") == "1" \
+                and "BENCH_GRAD_ACCUM" not in os.environ:
+            env["BENCH_GRAD_ACCUM"] = "fp32"
         if ph == "fused":
             timeout_s = min(max(remaining, 120), fused_timeout)
         elif required:

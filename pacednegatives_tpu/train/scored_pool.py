@@ -108,6 +108,20 @@ def make_scored_pool_step(
     # t5-base kills a 16 GB v5e; 1024 fits). Chunks run under lax.map —
     # one compiled body, constant shapes, O(chunk) activation memory.
     score_chunk_rows: int = 1024,
+    # length-bucketed scoring: ascending static encoder widths. The B*C
+    # scoring rows are sorted by true prompt length, chunked, and each
+    # chunk runs at the SMALLEST bucket width covering its max row length
+    # (lax.switch over per-width forwards — static shapes, one compile per
+    # width). Scores are EXACT — a masked T5 forward is padding-invariant,
+    # so a row scored at width 96 produces the same relevance score it
+    # would at the full width; the bucket only drops pad FLOPs. Requires a
+    # front-compacted corpus (DeviceCorpus.packed=True) so a [:, :W] slice
+    # keeps every real token; the full width is appended automatically.
+    # Win scales with the corpus's true-length distribution vs its padded
+    # max (MS MARCO passages: mean ~70 prompt tokens vs a 188 budget; the
+    # reference pads every row to the budget, lceT5.py:40-53). Smaller
+    # score_chunk_rows => finer length granularity => bigger win.
+    score_buckets: tuple = (),
 ):
     """Build fused(state, pair_idx[, corpus]) -> (state, metrics) with
     model-scored candidate pools (see module docstring).
@@ -129,6 +143,9 @@ def make_scored_pool_step(
     default_corpus = corpus
     slots_np = balanced_slots(int(corpus.n_neg), candidates)
     C = int(slots_np.shape[0])
+    buckets = tuple(sorted({int(b) for b in score_buckets}))
+    if buckets and buckets[0] <= 0:
+        raise ValueError(f"score_buckets must be positive, got {buckets}")
 
     def fused(state: TrainState, pair_idx: jax.Array, corpus=None):
         corpus = default_corpus if corpus is None else corpus
@@ -166,21 +183,55 @@ def make_scored_pool_step(
         while rows % chunk:  # constant chunk shape => one compile
             chunk -= 1
 
-        def score_chunk(im):
-            i, m = im
-            if negative_parallel:
-                i, m = _row_constrain(i), _row_constrain(m)
-            return score_fn(i, m)
+        L = ids.shape[1]
+        # bucket widths that matter: strictly below L, plus L itself (a
+        # chunk whose max length exceeds every configured bucket runs at
+        # the full width — correctness never depends on the bucket list)
+        widths = tuple(b for b in buckets if b < L) + (L,)
+        use_buckets = len(widths) > 1
+        if use_buckets:
+            if not corpus.packed:
+                raise ValueError(
+                    "score_buckets requires a front-compacted corpus "
+                    "(DeviceCorpus.build(..., packed=True)): the segment "
+                    "layout interleaves pads, so a [:, :W] slice would "
+                    "drop real tokens"
+                )
+            # sort scoring rows by true length so consecutive chunks hold
+            # similar lengths and short chunks get narrow widths
+            lengths = mask.sum(axis=1)
+            perm = jnp.argsort(lengths)
+            ids, mask = ids[perm], mask[perm]
+            widths_arr = jnp.asarray(widths, jnp.int32)
+
+        def score_rows(i, m):
+            if not use_buckets:
+                if negative_parallel:
+                    i, m = _row_constrain(i), _row_constrain(m)
+                return score_fn(i, m)
+            wmax = m.sum(axis=1).max().astype(jnp.int32)
+            bidx = jnp.searchsorted(widths_arr, wmax)  # first width >= wmax
+
+            def at_width(W):
+                def branch(ii, mm):
+                    ii, mm = ii[:, :W], mm[:, :W]
+                    if negative_parallel:
+                        ii, mm = _row_constrain(ii), _row_constrain(mm)
+                    return score_fn(ii, mm)
+                return branch
+
+            return jax.lax.switch(bidx, [at_width(W) for W in widths], i, m)
 
         if chunk == rows:
-            if negative_parallel:
-                ids, mask = _row_constrain(ids), _row_constrain(mask)
-            raw = score_fn(ids, mask)
+            raw = score_rows(ids, mask)
         else:
-            raw = jax.lax.map(score_chunk, (
+            raw = jax.lax.map(lambda im: score_rows(*im), (
                 ids.reshape(rows // chunk, chunk, -1),
                 mask.reshape(rows // chunk, chunk, -1),
             )).reshape(-1)
+        if use_buckets:
+            # undo the length sort so scores land back in (B, C) row order
+            raw = jnp.zeros_like(raw).at[perm].set(raw)
         scores = jax.lax.stop_gradient(raw).reshape(B, C)
 
         # easiest (lowest relevance) -> hardest (highest), per pair

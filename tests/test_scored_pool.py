@@ -316,3 +316,99 @@ def test_score_chunking_matches_single_call():
     b = jax.tree_util.tree_leaves(s_chk.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def _varlen_setup(packed=True, n_neg=12, n_pairs=6):
+    """Variable-length corpus (the regime length-bucketed scoring exists
+    for): doc word counts 2..15 against a 16-token budget, so true prompt
+    lengths spread well below the padded max."""
+    cfg = T5Config.tiny(vocab_size=256)
+    tok = HashTokenizer(vocab_size=256)
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(50)]
+    corpus = TextCorpus(
+        [f"d{i}" for i in range(64)],
+        [" ".join(rng.choice(words, size=int(k)))
+         for k in rng.integers(2, 16, size=64)],
+        [f"q{i}" for i in range(8)],
+        [" ".join(rng.choice(words, size=int(k)))
+         for k in rng.integers(1, 4, size=8)],
+    )
+    store = TokenizedStore.build(corpus, tok, max_q_tokens=4, max_d_tokens=16)
+    triples = TripletStore.synthetic(corpus, n_pairs=n_pairs, n_neg=n_neg,
+                                     seed=1)
+    dc = DeviceCorpus.build(store, triples, packed=packed)
+    params = init_params(jax.random.key(0), cfg)
+    return cfg, tok, dc, params
+
+
+def test_score_buckets_match_unbucketed():
+    """Length-bucketed scoring is EXACT: a masked T5 forward is padding-
+    invariant, so scoring a row at the smallest bucket width covering its
+    true length reproduces the full-width score — same selection, same
+    loss, same trained params. (The bucket only skips pad FLOPs; the win
+    is performance, pinned on hardware by the scored*_bkt_188 arms.)"""
+    cfg, tok, dc, params = _varlen_setup(packed=True)
+    ctrl = InterpController(start=0.7, end=0.7, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    mk = lambda **kw: make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+        rel_id=tok.true_id, nrel_id=tok.false_id, **kw,
+    )
+    pair_idx = jnp.arange(4, dtype=jnp.int32)
+
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_ref, m_ref = jax.jit(mk())(state0, pair_idx)  # full width, one call
+
+    # bucketed + chunked: 4 chunks of 8 length-sorted rows, widths chosen
+    # per chunk from the bucket ladder (plus the full width, appended)
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_bkt, m_bkt = jax.jit(mk(score_buckets=(8, 12, 16, 20),
+                              score_chunk_rows=8))(state0, pair_idx)
+
+    for k in ("loss", "pool_score_spread", "neg_rank_static"):
+        np.testing.assert_allclose(float(m_ref[k]), float(m_bkt[k]),
+                                   rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_bkt.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+    # single-call bucketed (chunk == rows) also matches
+    state0 = init_train_state(params, tx, ctrl.init())
+    s_one, m_one = jax.jit(mk(score_buckets=(8, 12, 16, 20)))(
+        state0, pair_idx)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_one["loss"]),
+                               rtol=1e-5)
+
+
+def test_score_buckets_require_packed_corpus():
+    """The segment layout interleaves pads between prompt segments, so a
+    [:, :W] slice would drop real tokens — bucketed scoring must refuse it
+    loudly rather than score truncated prompts."""
+    cfg, tok, dc, params = _varlen_setup(packed=False)
+    ctrl = InterpController(start=0.5, end=0.5, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    fused = make_scored_pool_step(
+        dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+        rel_id=tok.true_id, nrel_id=tok.false_id, score_buckets=(8, 12),
+    )
+    state = init_train_state(params, tx, ctrl.init())
+    with pytest.raises(ValueError, match="packed"):
+        jax.jit(fused)(state, jnp.arange(4, dtype=jnp.int32))
+
+
+def test_score_buckets_validation():
+    cfg, tok, dc, params = _varlen_setup(packed=True)
+    ctrl = InterpController(start=0.5, end=0.5, num_steps=1)
+    tx = make_optimizer(lr=1e-3, total_steps=8)
+    step = make_train_step(cfg, ctrl, tx, loss="lce", n_neg_per_example=2,
+                           rel_id=tok.true_id, nrel_id=tok.false_id)
+    with pytest.raises(ValueError, match="positive"):
+        make_scored_pool_step(
+            dc, step, ctrl, cfg, n_neg_per_example=2, candidates=8,
+            rel_id=tok.true_id, nrel_id=tok.false_id, score_buckets=(0, 8),
+        )
