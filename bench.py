@@ -1008,6 +1008,15 @@ def _take_driver_lock():
     import atexit
     import signal
 
+    # A CPU-forced parent (tests, smoke runs) does not contend for the
+    # chip: taking the real lock — and above all PREEMPTING the advertised
+    # queue pid — would kill a live TPU experiment for nothing. Round 5
+    # measured exactly that failure: a test-suite run group-killed the
+    # queue's in-flight full-bench runs (warm_full_1/2, rc=143).
+    if os.environ.get("BENCH_FORCE_CPU", "0") == "1" \
+            and "BENCH_DRIVER_LOCK" not in os.environ:
+        return
+
     try:
         with open(_DRIVER_LOCK, "w") as f:
             f.write(str(os.getpid()))
@@ -1145,38 +1154,10 @@ def main():
         # a usable headline record, just without the vs_baseline keys.
         ("ref", {}, True, 300),
     ]
-    if measure_long:
-        phases.append(
-            (
-                "fused512",
-                {
-                    "BENCH_DOC_TOKENS": "484",
-                    "BENCH_ATTN": os.environ.get("BENCH_LONG_ATTN", "chunked"),
-                    "BENCH_ATTN_CHUNK": "512",
-                    "BENCH_REMAT": "0",
-                    "BENCH_MICROBATCH": os.environ.get(
-                        "BENCH_LONG_MICROBATCH", "8"
-                    ),
-                    "BENCH_OPT_MOMENTS": "factored",
-                    # r5 measured at L=512 (docs/experiments_r5.jsonl):
-                    # base 2.301 steps/s; flash_v3 alone 2.728 (+18.6%);
-                    # the full stack v3 + fused-QKV + bf16 grad-accum +
-                    # bf16 attn residual is the best measured config at
-                    # 2.812 (+22.2%, v3_acc_res_512) — flipped to default.
-                    # (Standalone attn-res at 512 was neutral, 2.298; it
-                    # only pays stacked on v3's whole-block-VMEM layout.)
-                    "BENCH_FLASH_V3": "1",
-                    "BENCH_FUSED_QKV": "1",
-                    "BENCH_GRAD_ACCUM": "bf16",
-                    "BENCH_ATTN_RES": "bf16",
-                    "BENCH_SCORED_POOL": "0",
-                },
-                False,
-                420,
-            )
-        )
-    if measure_scale:
-        phases.append(("scale", {}, False, 300))
+    # north-star phases run FIRST among the optionals: a budget squeezed by
+    # slow cold compiles must skip fused512/scale/rerank before it skips
+    # the scored-pool record (VERDICT r4 item 2: scored_pool_* keys in the
+    # driver record are the round's #1 deliverable after the headline)
     if os.environ.get("BENCH_SCORED", "1") == "1":
         # model-in-the-loop negative selection (train/scored_pool.py;
         # north-star lever — docs/north_star.md). r5 measured-best config
@@ -1216,6 +1197,38 @@ def main():
         phases.append(
             ("ref_varlen", {"BENCH_DOC_LOGNORMAL": "1"}, False, 200)
         )
+    if measure_long:
+        phases.append(
+            (
+                "fused512",
+                {
+                    "BENCH_DOC_TOKENS": "484",
+                    "BENCH_ATTN": os.environ.get("BENCH_LONG_ATTN", "chunked"),
+                    "BENCH_ATTN_CHUNK": "512",
+                    "BENCH_REMAT": "0",
+                    "BENCH_MICROBATCH": os.environ.get(
+                        "BENCH_LONG_MICROBATCH", "8"
+                    ),
+                    "BENCH_OPT_MOMENTS": "factored",
+                    # r5 measured at L=512 (docs/experiments_r5.jsonl):
+                    # base 2.301 steps/s; flash_v3 alone 2.728 (+18.6%);
+                    # the full stack v3 + fused-QKV + bf16 grad-accum +
+                    # bf16 attn residual is the best measured config at
+                    # 2.812 (+22.2%, v3_acc_res_512) — flipped to default.
+                    # (Standalone attn-res at 512 was neutral, 2.298; it
+                    # only pays stacked on v3's whole-block-VMEM layout.)
+                    "BENCH_FLASH_V3": "1",
+                    "BENCH_FUSED_QKV": "1",
+                    "BENCH_GRAD_ACCUM": "bf16",
+                    "BENCH_ATTN_RES": "bf16",
+                    "BENCH_SCORED_POOL": "0",
+                },
+                False,
+                420,
+            )
+        )
+    if measure_scale:
+        phases.append(("scale", {}, False, 300))
     if os.environ.get("BENCH_RERANK", "1") == "1":
         phases.append(("rerank", {}, False, 180))
 

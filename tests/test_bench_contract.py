@@ -14,10 +14,24 @@ import subprocess
 import sys
 
 
-def test_fatal_fused_phase_still_emits_parseable_record():
+def _isolated_arbitration_env(tmp_path):
+    """Every test that runs the PARENT bench must sandbox the chip-
+    arbitration files: the parent takes the driver lock and PREEMPTS
+    (group-kills) whatever pid the queue-active file advertises. Round 5
+    measured this the hard way — a test-suite run on a box with a live
+    TPU queue killed the queue's in-flight full-bench runs (warm_full_1/2
+    rc=143) and left a stale real /tmp lock behind."""
+    return dict(
+        BENCH_DRIVER_LOCK=str(tmp_path / "driver.lock"),
+        BENCH_QUEUE_ACTIVE=str(tmp_path / "queue_active.pid"),
+    )
+
+
+def test_fatal_fused_phase_still_emits_parseable_record(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
+        **_isolated_arbitration_env(tmp_path),
         BENCH_FORCE_CPU="1",
         BENCH_MODEL="tiny",
         BENCH_STEPS="2",
@@ -107,7 +121,7 @@ def test_queue_phase_advertises_own_pid(tmp_path):
     assert not active.exists()  # cleaned up at exit
 
 
-def test_fast_mode_emits_complete_headline_record_rc0():
+def test_fast_mode_emits_complete_headline_record_rc0(tmp_path):
     """BENCH_FAST=1 (the r5 queue's first action when the tunnel returns)
     must produce a complete official-format record — value, vs_baseline,
     north_star — from just the two required phases, rc=0, with no optional
@@ -115,6 +129,7 @@ def test_fast_mode_emits_complete_headline_record_rc0():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
+        **_isolated_arbitration_env(tmp_path),
         BENCH_FORCE_CPU="1",
         BENCH_FAST="1",
         BENCH_MODEL="tiny",
@@ -193,7 +208,7 @@ def test_queue_wait_driver_clears_stale_lock(tmp_path):
     assert not lock.exists()  # stale lock cleared so experiments resume
 
 
-def test_budget_skipped_optional_phases_recorded_rc0():
+def test_budget_skipped_optional_phases_recorded_rc0(tmp_path):
     """A healthy fused+ref run whose budget runs out before the optional
     phases must exit 0 with the headline keys AND list every skipped
     optional phase in ``skipped_phases`` — a budget-skipped trailing phase
@@ -201,6 +216,7 @@ def test_budget_skipped_optional_phases_recorded_rc0():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
+        **_isolated_arbitration_env(tmp_path),
         BENCH_FORCE_CPU="1",
         BENCH_MODEL="tiny",
         BENCH_STEPS="2",
